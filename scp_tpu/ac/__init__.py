@@ -1,0 +1,108 @@
+"""Arithmetic-coding front end.
+
+Bit-exact CDF quantization semantics of the reference front end
+(`numpyAc/numpyAc.py:80-114`): a float CDF in [0, 1] is scaled by
+2^16 - (Lp - 1), rounded, cast to int16 and a +arange(Lp) ramp is added so
+the quantized CDF is strictly increasing.  The same conversion must be used
+at encode and decode time for stream consistency.
+
+Two backends: the native C++ range coder (preferred; batched decode), and a
+pure-Python coder used as fallback / test oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scp_tpu.native import ac_native
+
+PRECISION = 16
+
+
+def quantize_cdf(cdf_float: np.ndarray) -> np.ndarray:
+    """Float CDF rows (..., Lp) in [0, 1] -> strictly increasing uint16.
+
+    Wraps modulo 2^16 exactly like the reference's int16 cast + ramp
+    (`numpyAc.py:96-107`); only the final entry (cdf == 1.0 at index Lp-1)
+    can wrap, and neither encoder nor decoder ever reads it.
+    """
+    lp = cdf_float.shape[-1]
+    scaled = cdf_float * (2**PRECISION - (lp - 1))
+    q = np.round(scaled).astype(np.int64) + np.arange(lp, dtype=np.int64)
+    return (q & 0xFFFF).astype(np.uint16)
+
+
+def pdf_to_cdf(pdf: np.ndarray) -> np.ndarray:
+    """PDF rows (N, L) -> normalized CDF rows (N, L+1) with leading zero."""
+    c = np.cumsum(pdf, axis=-1)
+    c = c / c[..., -1:]
+    zeros = np.zeros((*c.shape[:-1], 1), dtype=c.dtype)
+    return np.concatenate([zeros, c], axis=-1)
+
+
+def pdf_to_quantized_cdf(pdf: np.ndarray) -> np.ndarray:
+    return quantize_cdf(pdf_to_cdf(pdf))
+
+
+def check_pdf(pdf: np.ndarray, syms: np.ndarray) -> None:
+    """Input validation (reference `numpyAc.py:32-39`)."""
+    if pdf.min() < 0:
+        raise ValueError(f"pdf.min()={pdf.min()} < 0")
+    if syms.min() < 0 or syms.max() >= pdf.shape[-1]:
+        raise ValueError(
+            f"symbols out of range [0, {pdf.shape[-1] - 1}]: "
+            f"[{syms.min()}, {syms.max()}]"
+        )
+
+
+class ArithmeticEncoder:
+    """Encode int symbols against per-symbol PDFs; whole-stream API."""
+
+    def encode(
+        self, pdf: np.ndarray, syms: np.ndarray, binfile: str | None = None
+    ) -> tuple[bytes, int]:
+        """Returns (byte_stream, bit_count). pdf (N, L); syms (N,)."""
+        pdf = np.asarray(pdf, dtype=np.float64)
+        syms = np.asarray(syms, dtype=np.int16)
+        assert pdf.ndim == 2 and syms.ndim == 1 and pdf.shape[0] == syms.shape[0]
+        check_pdf(pdf, syms)
+        cdf = pdf_to_quantized_cdf(pdf)
+        stream = encode_quantized(cdf, syms)
+        if binfile is not None:
+            with open(binfile, "wb") as f:
+                f.write(stream)
+        return stream, len(stream) * 8
+
+
+def encode_quantized(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
+    if ac_native.available():
+        return ac_native.encode_cdf(cdf_u16, syms)
+    from scp_tpu.ac.py_coder import py_encode
+
+    return py_encode(cdf_u16, syms)
+
+
+class ArithmeticDecoder:
+    """Streaming decoder over one bitstream; supports batched decode."""
+
+    def __init__(self, stream: bytes | None, n_sym: int, binfile: str | None = None):
+        if binfile is not None:
+            with open(binfile, "rb") as f:
+                stream = f.read()
+        self.n_sym = n_sym
+        if ac_native.available():
+            self._dec = ac_native.NativeDecoder(stream, n_sym)
+        else:
+            from scp_tpu.ac.py_coder import PyDecoder
+
+            self._dec = PyDecoder(stream, n_sym)
+
+    def decode_batch(self, pdf: np.ndarray) -> np.ndarray:
+        """Decode pdf.shape[0] symbols; row i of the (M, L) pdf gates symbol
+        i.  Replaces the reference's per-symbol Python loop
+        (`numpyAc.py:163-169`) with one native call."""
+        cdf = pdf_to_quantized_cdf(np.asarray(pdf, dtype=np.float64))
+        return self._dec.decode_batch(cdf).astype(np.int64)
+
+    def decode_one(self, pdf_row: np.ndarray) -> int:
+        return int(self.decode_batch(pdf_row.reshape(1, -1))[0])

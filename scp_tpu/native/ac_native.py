@@ -1,0 +1,105 @@
+"""ctypes bindings for the native range coder."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from scp_tpu.native.build import load_library
+
+_CONFIGURED = False
+
+
+def _lib():
+    global _CONFIGURED
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _CONFIGURED:
+        lib.ac_encode_cdf.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.ac_encode_cdf.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ac_free.restype = None
+        lib.ac_free.argtypes = [ctypes.c_void_p]
+        lib.ac_decoder_new.restype = ctypes.c_void_p
+        lib.ac_decoder_new.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.ac_decoder_free.restype = None
+        lib.ac_decoder_free.argtypes = [ctypes.c_void_p]
+        lib.ac_decode_batch.restype = ctypes.c_int64
+        lib.ac_decode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        _CONFIGURED = True
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def encode_cdf(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
+    """Encode int16 symbols against (N, Lp) uint16 quantized CDF rows."""
+    lib = _lib()
+    cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+    syms = np.ascontiguousarray(syms, dtype=np.int16)
+    n, lp = cdf_u16.shape
+    assert syms.shape == (n,)
+    out_len = ctypes.c_int64(0)
+    buf = lib.ac_encode_cdf(
+        cdf_u16.ctypes.data_as(ctypes.c_void_p),
+        n,
+        lp,
+        syms.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(out_len),
+    )
+    try:
+        return ctypes.string_at(buf, out_len.value)
+    finally:
+        lib.ac_free(buf)
+
+
+class NativeDecoder:
+    """Streaming decoder: one bitstream, many batched decode calls."""
+
+    def __init__(self, stream: bytes, n_sym: int):
+        self._lib = _lib()
+        self._h = self._lib.ac_decoder_new(stream, len(stream), n_sym)
+
+    def decode_batch(self, cdf_u16: np.ndarray) -> np.ndarray:
+        """Decode cdf_u16.shape[0] symbols; row i gates symbol i."""
+        cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+        m, lp = cdf_u16.shape
+        out = np.empty(m, dtype=np.int16)
+        got = self._lib.ac_decode_batch(
+            self._h,
+            cdf_u16.ctypes.data_as(ctypes.c_void_p),
+            m,
+            lp,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:got]
+
+    def close(self):
+        if self._h:
+            self._lib.ac_decoder_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
