@@ -1,0 +1,277 @@
+"""Shared encode/decode session logic for the codec CLIs.
+
+Handles: run-config round-trip, checkpoint loading, preprocessing cache
+(`_meta.npy` compatible with the reference's, encode_dataset_ehem.py:132),
+single- and multi-level (3-subtree) encoding, bitstream + sidecar output,
+and full decode back to a Cartesian .ply.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from scp_tpu import ac
+from scp_tpu.codec.bitstream import (
+    StreamHeader,
+    pack_stream,
+    reference_style_name,
+    unpack_stream,
+)
+from scp_tpu.codec.ehem_codec import EHEMCodec
+from scp_tpu.codec.octattn_codec import OctAttentionCodec
+from scp_tpu.codec.slices import split_levels
+from scp_tpu.config import load_run_config
+from scp_tpu.core.octree import deoctree
+from scp_tpu.core.pointcloud import read_points, write_ply
+from scp_tpu.core.preprocess import ford_qs, kitti_qs, preprocess_points
+from scp_tpu.core.quantize import QuantGrid
+from scp_tpu.metrics import PEAKS, chamfer, d1_d2_psnr
+from scp_tpu.models import build_model
+from scp_tpu.train import checkpoints
+
+MULLEVEL_PATHS = ([0, 0], [0, 1], [1])  # near/mid/far (reference test_gene.py:24-65)
+
+
+def shard_name(ori_file: str, data_type: str) -> str:
+    p = Path(ori_file)
+    if data_type == "kitti":
+        return p.parent.name + p.stem
+    return p.stem
+
+
+def level_qs(data_type: str, lidar_level: int) -> float:
+    return kitti_qs(lidar_level) if data_type != "ford" else ford_qs(lidar_level)
+
+
+class CodecSession:
+    def __init__(self, ckpt_path: str, run_dir: str):
+        self.cfg = load_run_config(run_dir)
+        self.model = build_model(self.cfg)
+        self.variables = checkpoints.load_variables(ckpt_path)
+        self.is_ehem = self.cfg.model.class_name.upper().startswith("EHEM")
+        if self.is_ehem:
+            self.codec = EHEMCodec(
+                self.model, self.variables, self.cfg.model.context_size
+            )
+        else:
+            self.codec = OctAttentionCodec(self.model, self.variables)
+
+    # -- preprocessing -----------------------------------------------------
+
+    def _preproc_one(self, ori_file, data_type, lidar_level, system, morton_path=None):
+        qs = level_qs(data_type, lidar_level)
+        return preprocess_points(
+            read_points(ori_file),
+            system=system,
+            qs=qs,
+            offset=(-200 if data_type == "kitti" else -(2**17))
+            if system == "cart"
+            else 0,
+            morton_path=morton_path,
+        )
+
+    def preproc(
+        self, ori_file, data_type, lidar_level, system, preproc_path="", mullevel=False
+    ):
+        """Returns (results list, metrics dict). Uses cached shards when a
+        preproc_path is supplied (reference encode_dataset_ehem.py:126-135).
+        """
+        name = shard_name(ori_file, data_type)
+        if preproc_path:
+            base = os.path.join(preproc_path, name)
+            suffixes = ["_0_0", "_0_1", "_1"] if mullevel else [""]
+            ctxs = [np.load(base + s + ".npy") for s in suffixes]
+            meta = np.load(base + "_meta.npy")
+            manifest = np.load(base + "_manifest.npz", allow_pickle=True)
+            results = []
+            for i, c in enumerate(ctxs):
+                g = QuantGrid(
+                    system=str(manifest["system"]),
+                    qs=manifest["qs"][i],
+                    offset=manifest["offset"][i],
+                    bin_num=int(manifest["bin_num"][i]),
+                )
+                results.append((c, g))
+            metrics = {
+                "bin_num": int(meta[0]),
+                "chamfer": float(meta[1]),
+                "z_offset": float(meta[2]) if len(meta) > 2 else 0.0,
+                "psnr_d1": 0.0,
+                "ref_points": read_points(ori_file),
+            }
+            return results, metrics
+
+        ref_pts = read_points(ori_file)
+        results = []
+        if mullevel:
+            recons = []
+            for j, mp in enumerate(MULLEVEL_PATHS):
+                res = self._preproc_one(
+                    ori_file, data_type, lidar_level + j, system, morton_path=mp
+                )
+                results.append((res.context, res.grid))
+                recons.append(res.recon_points)
+                if j == 0:
+                    first = res
+            recon = np.vstack(recons)
+        else:
+            first = self._preproc_one(ori_file, data_type, lidar_level, system)
+            results.append((first.context, first.grid))
+            recon = first.recon_points
+
+        peak = PEAKS.get(data_type, 59.70)
+        psnr_d1, _ = d1_d2_psnr(ref_pts, recon, peak)
+        metrics = {
+            "bin_num": first.bin_num,
+            "chamfer": chamfer(ref_pts.copy(), recon.copy()),
+            "z_offset": first.z_offset,
+            "psnr_d1": psnr_d1,
+            "ref_points": ref_pts,
+        }
+        return results, metrics
+
+    # -- encode --------------------------------------------------------------
+
+    def encode_file(
+        self,
+        ori_file,
+        out_dir,
+        data_type="kitti",
+        lidar_level=12,
+        system="spher",
+        preproc_path="",
+        sequential=False,
+        mullevel=False,
+    ) -> dict:
+        results, metrics = self.preproc(
+            ori_file, data_type, lidar_level, system, preproc_path, mullevel
+        )
+        angular = system in ("spher", "cylin")
+
+        all_pdfs, all_syms = [], []
+        sub_sizes, mms, max_levels = [], [], []
+        elapsed = 0.0
+        slices_list = []
+        for ctx, _grid in results:
+            if self.is_ehem:
+                slices = split_levels(ctx, angular=angular)
+                pdfs, syms, t = self.codec.encode(slices)
+                all_pdfs += pdfs
+                all_syms += syms
+                mms.append(np.array(slices.pos_mm, np.int64))
+                max_levels.append(slices.max_level)
+                sub_sizes.append(slices.occ_stream.shape[0])
+                slices_list.append(slices)
+            else:
+                pdf, syms, t = self.codec.encode(ctx, sequential=sequential)
+                all_pdfs.append(pdf)
+                all_syms.append(syms)
+                _, _, ml = self.codec.split_levels(ctx)
+                max_levels.append(ml)
+                sub_sizes.append(syms.shape[0])
+                mms.append(np.zeros((ml, 2), np.int64))
+            elapsed += t
+
+        pdf = np.concatenate(all_pdfs, axis=0)
+        sym = np.concatenate(all_syms, axis=0)
+        payload, bits = ac.ArithmeticEncoder().encode(pdf, sym)
+
+        header = StreamHeader(
+            n_sym=int(sym.shape[0]),
+            max_level=int(sum(max_levels)) if mullevel else int(max_levels[0]),
+            system=system,
+            bin_num=int(metrics["bin_num"]),
+            z_offset=float(metrics["z_offset"]),
+            lidar_clip=int(lidar_level),
+            qs_rho=float(level_qs(data_type, lidar_level)),
+            pos_mm=np.concatenate(mms, axis=0) if mms else np.zeros((0, 2), np.int64),
+            subtree_sizes=tuple(sub_sizes),
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        stem = shard_name(ori_file, data_type)
+        binname = reference_style_name(
+            stem, system, header.max_level, header.bin_num, header.z_offset
+        )
+        outputfile = os.path.join(out_dir, binname)
+        with open(outputfile, "wb") as f:
+            f.write(pack_stream(header, payload))
+        # decode manifest sidecar (per-subtree grids + level maxima)
+        np.savez(
+            outputfile + ".manifest.npz",
+            qs=np.stack([g.qs for _, g in results]),
+            offset=np.stack([g.offset for _, g in results]),
+            bin_num=np.array([g.bin_num for _, g in results]),
+            system=system,
+            max_levels=np.array(max_levels),
+        )
+
+        pt_num = metrics["ref_points"].shape[0]
+        oct_num = int(sym.shape[0])
+        return {
+            "outputfile": outputfile,
+            "seconds": elapsed,
+            "pt_num": pt_num,
+            "oct_num": oct_num,
+            "bits": bits,
+            "bit_per_oct": bits / oct_num,
+            "bpp": bits / pt_num,
+            "chamfer": metrics["chamfer"],
+            "psnr_d1": metrics["psnr_d1"],
+        }
+
+    # -- decode --------------------------------------------------------------
+
+    def decode_file(
+        self,
+        binfile,
+        out_ply=None,
+        ground_truth: np.ndarray | None = None,
+        sequential=False,
+    ):
+        """Bitstream -> occupancy codes -> Cartesian points (+ .ply)."""
+        with open(binfile, "rb") as f:
+            header, payload = unpack_stream(f.read())
+        man = np.load(binfile + ".manifest.npz", allow_pickle=True)
+        max_levels = man["max_levels"]
+        dec = ac.ArithmeticDecoder(payload, header.n_sym)
+
+        t0 = time.time()
+        parts = []
+        mm_off = 0
+        gt_off = 0
+        for i, ml in enumerate(max_levels):
+            ml = int(ml)
+            mm = header.pos_mm[mm_off : mm_off + ml]
+            mm_off += ml
+            gt = None
+            if ground_truth is not None:
+                gt = ground_truth[gt_off : gt_off + int(header.subtree_sizes[i])]
+            gt_off += int(header.subtree_sizes[i])
+            if self.is_ehem:
+                codes = self.codec.decode(
+                    dec,
+                    ml,
+                    mm,
+                    angular=header.angular,
+                    lidar_clip=None,
+                    ground_truth=gt,
+                )
+            else:
+                codes = self.codec.decode(dec, ml, ground_truth=gt, sequential=sequential)
+            grid = QuantGrid(
+                system=str(man["system"]),
+                qs=man["qs"][i],
+                offset=man["offset"][i],
+                bin_num=int(man["bin_num"][i]),
+            )
+            pts = grid.from_grid(deoctree(codes.astype(np.int64) + 1))
+            parts.append(pts)
+        elapsed = time.time() - t0
+        out_points = np.vstack(parts).astype(np.float32)
+        if out_ply:
+            write_ply(out_ply, out_points)
+        return out_points, elapsed

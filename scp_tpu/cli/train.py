@@ -1,0 +1,56 @@
+"""Training CLI (reference train.py surface).
+
+    python -m scp_tpu.cli.train --config-name train_kitti_ehem.yaml \
+        data.batch_size=16 data.root='data/kitti/spher/*.npy'
+
+Hydra-style dotted overrides are positional arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-name", default="train_obj.yaml")
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    from scp_tpu.config import load_config
+
+    cfg = load_config(args.config_name, args.config_dir, args.overrides)
+    print(cfg.to_plain())
+
+    import jax
+
+    from scp_tpu.train.data import build_dataset
+    from scp_tpu.train.trainer import Trainer
+
+    seed = int(cfg.get("seed", cfg.train.get("seed", 42)))
+    cfg.seed = seed
+
+    dataset = build_dataset(cfg)
+    trainer = Trainer(cfg, steps_per_epoch=dataset.steps_per_epoch())
+
+    if args.run_dir:
+        run_dir = args.run_dir
+    else:
+        now = datetime.datetime.now()
+        run_dir = os.path.join(
+            cfg.train.get("run_root", "outputs"),
+            str(cfg.train.type),
+            now.strftime("%Y-%m-%d"),
+            now.strftime("%H-%M-%S"),
+        )
+    print("saving in", run_dir)
+    print("devices:", jax.devices())
+    trainer.fit(dataset, run_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Bitstream container: header + range-coder payload.
+
+The reference smuggles decode metadata through the output FILENAME
+(`_<levels>_<bin_num>_<z_offset>.bin`, reference encode.py:140-144) plus a
+torch-saved `.dat` sidecar of per-level position extrema (encode.py:150).
+Here the stream is self-contained: a small binary header carries everything
+the decoder needs; the reference-compatible filename is still produced by
+the CLI for drop-in workflows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+_MAGIC = b"SCPT"
+_VERSION = 2
+
+
+@dataclasses.dataclass
+class StreamHeader:
+    n_sym: int
+    max_level: int
+    system: str  # "cart" | "cylin" | "spher"
+    bin_num: int
+    z_offset: float
+    lidar_clip: int
+    qs_rho: float
+    pos_mm: np.ndarray  # (L, 2) int64 per-level (min, max); empty for cart
+    subtree_sizes: tuple = ()  # node counts per subtree (multi-level mode)
+
+    @property
+    def angular(self) -> bool:
+        return self.system in ("cylin", "spher")
+
+
+_SYSTEMS = ["cart", "cylin", "spher"]
+
+
+def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
+    mm = np.asarray(header.pos_mm, dtype=np.int64).reshape(-1, 2)
+    sub = np.asarray(header.subtree_sizes, dtype=np.int64)
+    head = struct.pack(
+        "<4sHQHBIdhdHH",
+        _MAGIC,
+        _VERSION,
+        header.n_sym,
+        header.max_level,
+        _SYSTEMS.index(header.system),
+        header.bin_num,
+        header.z_offset,
+        header.lidar_clip,
+        header.qs_rho,
+        mm.shape[0],
+        sub.shape[0],
+    )
+    return head + mm.tobytes() + sub.tobytes() + payload
+
+
+def unpack_stream(blob: bytes) -> tuple[StreamHeader, bytes]:
+    fmt = "<4sHQHBIdhdHH"
+    size = struct.calcsize(fmt)
+    magic, ver, n_sym, max_level, sys_i, bin_num, z_off, clip, qs_rho, n_mm, n_sub = (
+        struct.unpack(fmt, blob[:size])
+    )
+    if magic != _MAGIC:
+        raise ValueError("not an scp_tpu bitstream")
+    if ver != _VERSION:
+        raise ValueError(f"unsupported stream version {ver}")
+    off = size
+    mm = np.frombuffer(blob[off : off + 16 * n_mm], dtype=np.int64).reshape(n_mm, 2)
+    off += 16 * n_mm
+    sub = np.frombuffer(blob[off : off + 8 * n_sub], dtype=np.int64)
+    off += 8 * n_sub
+    header = StreamHeader(
+        n_sym=n_sym,
+        max_level=max_level,
+        system=_SYSTEMS[sys_i],
+        bin_num=bin_num,
+        z_offset=z_off,
+        lidar_clip=clip,
+        qs_rho=qs_rho,
+        pos_mm=mm.copy(),
+        subtree_sizes=tuple(int(s) for s in sub),
+    )
+    return header, blob[off:]
+
+
+def reference_style_name(stem: str, system: str, max_level: int, bin_num: int, z_offset: int) -> str:
+    """`<stem>[_spher|_cylin]_<levels>_<bin_num>_<z_offset>.bin`
+    (reference encode.py:140-144)."""
+    tag = {"spher": "_spher", "cylin": "_cylin", "cart": ""}[system]
+    return f"{stem}{tag}_{max_level}_{bin_num}_{int(z_offset)}.bin"

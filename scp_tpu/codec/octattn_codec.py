@@ -1,0 +1,200 @@
+"""OctAttention codec: context-window entropy coding.
+
+Encode (reference compress, encode.py:23-82): per octree level the node
+rows are prefixed with context_size-1 pad rows; in the default fast mode
+probabilities for a whole 1024-row window are produced by ONE forward
+(causal + dual-stream masking makes position j's logits depend only on
+rows <= j and exclude node j's own occupancy), windows stepping by the
+context size.  In `sequential` mode the window slides by one node and only
+the last position is kept (reference `--sequential`, encode.py:37-41).
+
+Decode: mirrors whichever window schedule encoded the stream.  NOTE the
+reference's decoder (decode.py:73-107) implements only the sliding-window
+schedule, so its fast-encoded streams aren't decodable; here both paths
+roundtrip, because the decoder rebuilds the exact window the encoder used
+(future rows inside a window carry exactly-zero attention weight, so
+replacing them with pad rows reproduces identical logits).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from scp_tpu import ac
+from scp_tpu.codec.slices import softmax_np
+from scp_tpu.core.octree import occupancy_to_child_octants
+from scp_tpu.models.octattention import OctAttention
+
+_PAD_OCC = 255
+
+
+class OctAttentionCodec:
+    def __init__(self, model: OctAttention, variables: dict):
+        self.model = model
+        self.variables = variables
+        self.csz = model.context_size
+        self._fwd_fn = jax.jit(lambda v, d, p: model.apply(v, d, p))
+
+    def _fwd(self, d, p):
+        return self._fwd_fn(self.variables, d, p)
+
+    # -- level slicing (reference EncodeDataset, encode_dataset.py:32-55) --
+
+    @staticmethod
+    def split_levels(ctx: np.ndarray):
+        """Raw (N, 4, 6) shard -> per-level (data(occ,level,octant), pos)."""
+        ctx = np.asarray(ctx)
+        occ = ctx[:, :, 0].astype(np.int32) - 1
+        node_level = ctx[:, -1, 1].astype(np.int32)
+        max_level = int(node_level.max())
+        data_all = np.stack(
+            [occ, ctx[:, :, 1].astype(np.int32), ctx[:, :, 2].astype(np.int32)],
+            axis=-1,
+        )
+        pos_all = (ctx[:, :, 3:6] / float(2**max_level)).astype(np.float32)
+        levels = []
+        for l in range(1, max_level + 1):
+            sel = node_level == l
+            levels.append((data_all[sel], pos_all[sel]))
+        return levels, occ[:, -1].astype(np.int16), max_level
+
+    def _pad_prefix(self, data, pos):
+        k = data.shape[1]
+        pad_d = np.zeros((self.csz - 1, k, 3), np.int32)
+        pad_d[:, :, 0] = _PAD_OCC
+        pad_p = np.zeros((self.csz - 1, k, 3), np.float32)
+        return np.concatenate([pad_d, data]), np.concatenate([pad_p, pos])
+
+    def _window(self, rows_d, rows_p, start):
+        """Fixed-size window [start, start+csz), right-padded if short."""
+        d = rows_d[start : start + self.csz]
+        p = rows_p[start : start + self.csz]
+        if d.shape[0] < self.csz:
+            extra = self.csz - d.shape[0]
+            pad_d = np.zeros((extra, d.shape[1], 3), np.int32)
+            pad_d[:, :, 0] = _PAD_OCC
+            d = np.concatenate([d, pad_d])
+            p = np.concatenate([p, np.zeros((extra, p.shape[1], 3), np.float32)])
+        return d, p
+
+    # -- encode -------------------------------------------------------------
+
+    def encode(self, ctx: np.ndarray, sequential: bool = False):
+        """-> (pdf (N,255), syms (N,), model_seconds); rows in BFS order."""
+        levels, occ_stream, _ = self.split_levels(ctx)
+        pdfs = []
+        elapsed = 0.0
+        for data, pos in levels:
+            n = data.shape[0]
+            rows_d, rows_p = self._pad_prefix(data, pos)
+            probs = np.zeros((n, self.model.token_num))
+            if sequential:
+                # Sliding window: node i sits at the last window position.
+                for i in range(n):
+                    d, p = self._window(rows_d, rows_p, i)
+                    t0 = time.time()
+                    logits = np.asarray(self._fwd(d[None], p[None]))[0]
+                    elapsed += time.time() - t0
+                    probs[i] = softmax_np(logits[self.csz - 1])
+            else:
+                for i in range(0, rows_d.shape[0], self.csz):
+                    d, p = self._window(rows_d, rows_p, i)
+                    t0 = time.time()
+                    logits = np.asarray(self._fwd(d[None], p[None]))[0]
+                    elapsed += time.time() - t0
+                    # real nodes covered by this window
+                    rs = max(i, self.csz - 1)
+                    re = min(i + self.csz, self.csz - 1 + n)
+                    if re > rs:
+                        probs[rs - (self.csz - 1) : re - (self.csz - 1)] = softmax_np(
+                            logits[rs - i : re - i]
+                        )
+            pdfs.append(probs)
+        pdf = np.concatenate(pdfs, axis=0)
+        return pdf, occ_stream, elapsed
+
+    def encode_to_stream(self, ctx: np.ndarray, sequential: bool = False):
+        pdf, syms, elapsed = self.encode(ctx, sequential=sequential)
+        stream, bits = ac.ArithmeticEncoder().encode(pdf, syms)
+        return stream, bits, elapsed
+
+    # -- decode -------------------------------------------------------------
+
+    def decode(
+        self,
+        dec: ac.ArithmeticDecoder,
+        max_level: int,
+        ground_truth: np.ndarray | None = None,
+        sequential: bool = False,
+    ) -> np.ndarray:
+        """Sequential wavefront decode (one forward per node).
+
+        Rebuilds, for every node, the exact window content the encoder used
+        (fast mode: windows restart every csz rows of the padded stream;
+        sequential mode: sliding window)."""
+        k = self.model.ancestors
+        inv_scale = 1.0 / float(2**max_level)
+
+        # Root context rows.
+        anc_d = np.zeros((1, k - 1, 3), np.int32)
+        anc_d[:, :, 0] = _PAD_OCC
+        anc_p = np.zeros((1, k - 1, 3), np.int64)
+        self_d = np.array([[[_PAD_OCC, 1, 1]]], np.int32)
+        self_p = np.zeros((1, 1, 3), np.int64)
+
+        codes = []
+        decoded = 0
+        for level in range(1, max_level + 1):
+            data = np.concatenate([anc_d, self_d], axis=1)  # (m, k, 3)
+            pos_int = np.concatenate([anc_p, self_p], axis=1)  # (m, k, 3)
+            m = data.shape[0]
+            rows_d = np.zeros((self.csz - 1 + m, k, 3), np.int32)
+            rows_d[:, :, 0] = _PAD_OCC
+            rows_d[self.csz - 1 :] = data
+            rows_p = np.zeros((self.csz - 1 + m, k, 3), np.float32)
+            rows_p[self.csz - 1 :] = pos_int.astype(np.float32) * inv_scale
+
+            level_occ = np.empty(m, np.int32)
+            for node in range(m):
+                padded_idx = node + self.csz - 1
+                if sequential:
+                    start = padded_idx - (self.csz - 1)
+                else:
+                    start = (padded_idx // self.csz) * self.csz
+                j = padded_idx - start
+                # future rows inside the window are still occ=unknown: rows
+                # beyond `padded_idx` already ARE unknown (occ channel of
+                # undecoded nodes is _PAD_OCC until filled below).
+                d, p = self._window(rows_d, rows_p, start)
+                logits = np.asarray(self._fwd(d[None], p[None]))[0]
+                sym = int(dec.decode_batch(softmax_np(logits[j])[None])[0])
+                level_occ[node] = sym
+                rows_d[padded_idx, -1, 0] = sym
+                if ground_truth is not None:
+                    assert sym == int(ground_truth[decoded]), (
+                        f"decode mismatch at level {level} node {node}"
+                    )
+                decoded += 1
+            codes.append(level_occ.astype(np.int16))
+            if level == max_level:
+                break
+            # Expand children for the next level.
+            filled = np.concatenate([anc_d, self_d], axis=1)
+            filled[:, -1, 0] = level_occ
+            pidx, octant = occupancy_to_child_octants(level_occ + 1)
+            anc_d = filled[pidx][:, 1:, :]
+            anc_p = pos_int[pidx][:, 1:, :]
+            n_child = pidx.shape[0]
+            self_d = np.zeros((n_child, 1, 3), np.int32)
+            self_d[:, 0, 0] = _PAD_OCC
+            self_d[:, 0, 1] = level + 1
+            self_d[:, 0, 2] = octant + 1
+            unit = np.int64(1) << np.int64(max_level - (level + 1) + 1)
+            bits = np.stack(
+                [(octant >> 2) & 1, (octant >> 1) & 1, octant & 1], axis=1
+            ).astype(np.int64)
+            self_p = (pos_int[pidx][:, -1, :] + bits * unit)[:, None, :]
+        return np.concatenate(codes)

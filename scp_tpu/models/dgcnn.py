@@ -1,0 +1,144 @@
+"""DGCNN geometry feature extractor for EHEM (reference models/dgcnn.py).
+
+TPU-first notes:
+  * KNN is a dense distance computation tiled over query chunks via
+    lax.map, so peak memory is (B, CHUNK, N) instead of (B, N, N) — the
+    role of the reference's 4096-column chunking (dgcnn.py:29-45) without
+    host-side Python loops.
+  * Edge features are channel-last so every 1x1 "conv" is a Dense on the
+    lane dimension (MXU-shaped matmul).
+  * Graphs are dynamic per EdgeConv round (recomputed from the current
+    feature tensor), the defining DGCNN behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scp_tpu.models.layers import MLP
+
+_KNN_CHUNK = 1024
+
+
+def knn_indices(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k nearest neighbors (squared L2, self included).
+
+    feats: (B, N, C) -> (B, N, k) int32 indices.
+    """
+    b, n, c = feats.shape
+    sq = jnp.sum(feats * feats, axis=-1)  # (B, N)
+
+    if n <= _KNN_CHUNK:
+        scores = 2.0 * jnp.einsum(
+            "bnc,bmc->bnm", feats, feats, preferred_element_type=jnp.float32
+        )
+        scores = scores - sq[:, :, None] - sq[:, None, :]
+        return jax.lax.top_k(scores, k)[1]
+
+    n_chunks = -(-n // _KNN_CHUNK)
+    pad = n_chunks * _KNN_CHUNK - n
+    q = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    q_sq = jnp.pad(sq, ((0, 0), (0, pad)))
+    q = q.reshape(b, n_chunks, _KNN_CHUNK, c)
+    q_sq = q_sq.reshape(b, n_chunks, _KNN_CHUNK)
+
+    def one_chunk(args):
+        qc, qsqc = args  # (B, CHUNK, C), (B, CHUNK)
+        s = 2.0 * jnp.einsum(
+            "bqc,bmc->bqm", qc, feats, preferred_element_type=jnp.float32
+        )
+        s = s - qsqc[:, :, None] - sq[:, None, :]
+        return jax.lax.top_k(s, k)[1]
+
+    idx = jax.lax.map(one_chunk, (q.transpose(1, 0, 2, 3), q_sq.transpose(1, 0, 2)))
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, n_chunks * _KNN_CHUNK, k)
+    return idx[:, :n]
+
+
+def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feats (B, N, C), idx (B, N, k) -> (B, N, k, C)."""
+    return jax.vmap(lambda f, i: f[i])(feats, idx)
+
+
+def edge_features(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(neighbor - center, center) edge tensor: (B, N, k, 2C)."""
+    idx = knn_indices(feats, k)
+    nb = gather_neighbors(feats, idx)
+    center = jnp.broadcast_to(feats[:, :, None, :], nb.shape)
+    return jnp.concatenate([nb - center, center], axis=-1)
+
+
+class EdgeConv(nn.Module):
+    """1x1 conv + BatchNorm + LeakyReLU(0.2) + max over neighbors."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, edge, train: bool):
+        h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(edge)
+        h = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            axis_name=None,
+            name="bn",
+        )(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+        return jnp.max(h, axis=2)  # (B, N, F)
+
+
+class GeoFeatGenerator(nn.Module):
+    """Per-node 256-d geometry features (reference GeoFeatGenerator,
+    dgcnn.py:74-154): 3 EdgeConv rounds over dynamic KNN graphs interleaved
+    with per-node MLPs on the ancestor (occ, level, octant) embedding."""
+
+    k: int = 20
+    max_level: int = 19
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.occ_enc = nn.Embed(256, 16, dtype=self.dtype, name="occ_enc")
+        self.level_enc = nn.Embed(self.max_level, 4, dtype=self.dtype)
+        self.octant_enc = nn.Embed(9, 4, dtype=self.dtype)
+        self.conv1 = EdgeConv(64, dtype=self.dtype)
+        self.conv2 = EdgeConv(128, dtype=self.dtype)
+        self.conv3 = EdgeConv(256, dtype=self.dtype)
+        self.mlp2 = MLP([80, 64, 64], dtype=self.dtype)
+        self.mlp3 = MLP([128, 128, 128], dtype=self.dtype)
+        self.edge_mlp1 = MLP([256, 256, 256], dtype=self.dtype)
+        self.edge_mlp2 = MLP([256, 256, 128], dtype=self.dtype)
+
+    def __call__(self, data, pos, train: bool = False):
+        """data: (B, N, 11) int — 4x(level, octant, occ) minus current occ;
+        pos: (B, N, 3) float normalized positions. Returns (B, N, 256)."""
+        b, n = data.shape[:2]
+        level = data[:, :, 0::3]
+        octant = data[:, :, 1::3]
+        occ = data[:, :, 2::3]
+        x = jnp.concatenate(
+            [
+                self.occ_enc(occ).reshape(b, n, -1),
+                self.level_enc(level).reshape(b, n, -1),
+                self.octant_enc(octant).reshape(b, n, -1),
+            ],
+            axis=-1,
+        )  # (B, N, 80)
+
+        k = min(self.k, n)
+        pos = pos.astype(self.dtype)
+        pos1 = self.conv1(edge_features(pos, k), train)
+        pos2 = self.conv2(edge_features(jnp.concatenate([pos1, x], -1), k), train)
+        x = self.mlp2(x)
+        pos3 = self.conv3(edge_features(jnp.concatenate([pos2, x], -1), k), train)
+        x = self.mlp3(x)
+
+        ec = self.edge_mlp1(jnp.concatenate([pos1, pos2, pos3], -1))
+        ec = self.edge_mlp2(jnp.concatenate([pos3, ec], -1))
+        return jnp.concatenate([x, ec], -1)  # (B, N, 256)
+
+    def embed_occ(self, occ):
+        return self.occ_enc(occ)

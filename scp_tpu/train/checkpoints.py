@@ -1,0 +1,83 @@
+"""Orbax checkpointing + partial warm-start.
+
+Replaces Lightning's ModelCheckpoint / load_from_checkpoint (reference
+train.py:50, encode.py:254) and the shape-filtered `load_pretrain`
+(reference ehem.py:212-222).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(run_dir: str) -> str:
+    return os.path.abspath(os.path.join(run_dir, "ckpt"))
+
+
+def save(run_dir: str, state, constants, epoch: int, step: int, final: bool = False):
+    path = os.path.join(_ckpt_dir(run_dir), f"epoch={epoch}-step={step}")
+    if os.path.exists(path):
+        return path
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats) or {},
+        "constants": jax.device_get(constants) or {},
+        "meta": {"epoch": epoch, "step": step},
+    }
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(path, payload)
+    if final:
+        latest = os.path.join(_ckpt_dir(run_dir), "latest.txt")
+        with open(latest, "w") as f:
+            f.write(os.path.basename(path))
+    return path
+
+
+def latest_checkpoint(run_dir: str) -> str | None:
+    d = _ckpt_dir(run_dir)
+    if not os.path.isdir(d):
+        return None
+    names = [n for n in os.listdir(d) if n.startswith("epoch=")]
+    if not names:
+        return None
+
+    def key(n):
+        return int(n.split("step=")[-1])
+
+    return os.path.join(d, max(names, key=key))
+
+
+def load(path: str) -> dict:
+    with ocp.StandardCheckpointer() as loader:
+        return loader.restore(os.path.abspath(path))
+
+
+def load_variables(path: str) -> dict:
+    """Checkpoint -> flax variables dict for model.apply."""
+    payload = load(path)
+    variables = {"params": payload["params"]}
+    if payload.get("batch_stats"):
+        variables["batch_stats"] = payload["batch_stats"]
+    if payload.get("constants"):
+        variables.update(payload["constants"])
+    return variables
+
+
+def filter_compatible(pretrained: Any, reference: Any) -> Any:
+    """Keep only leaves whose path+shape match the reference tree
+    (the reference's partial-checkpoint warm start, ehem.py:212-222)."""
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    flat_r, treedef = jax.tree_util.tree_flatten_with_path(reference)
+    out = []
+    for path, ref_leaf in flat_r:
+        leaf = flat_p.get(path)
+        if leaf is not None and np.shape(leaf) == np.shape(ref_leaf):
+            out.append(leaf)
+        else:
+            out.append(ref_leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,140 @@
+"""Training data pipeline over preprocessed (N, 4, 6) .npy shards.
+
+Replaces the reference's torch DataLoader stack (`dataloaders/
+oct_attn_dataset.py`, `ehem_dataset.py`, `oct_attn_dataloader.py`) with a
+host-side generator + double-buffered device transfer:
+
+  * shards are memory-mapped and consumed one file at a time; windows of
+    `context_size` rows are drawn sequentially (OctAttention) or in
+    permuted order (EHEM), matching the reference's sampling;
+  * occupancy is shifted 1..255 -> 0..254 at load; 255 = pad/unknown
+    (reference oct_attn_dataset.py:35);
+  * EHEM positions are the current node's, min-max normalized per window
+    (reference ehem_dataset.py:46-48); OctAttention positions are all K
+    ancestors' divided by 2^max_level (oct_attn_dataset.py:43);
+  * variable-length robustness training samples a bucket length from a
+    fixed power-of-two set instead of a uniform random length, keeping the
+    number of distinct compiled shapes bounded on TPU (the reference's
+    uniform draw, ehem.py:200-204, would trigger a recompile per step).
+"""
+
+from __future__ import annotations
+
+import glob
+import queue
+import threading
+
+import numpy as np
+
+EHEM_LEN_BUCKETS = (512, 1024, 2048, 4096, 8192)
+
+
+class ShardDataset:
+    """Iterates (data, pos, label) batches from .npy shards forever."""
+
+    def __init__(
+        self,
+        root: str,
+        context_size: int,
+        batch_size: int,
+        mode: str = "octattn",  # "octattn" | "ehem"
+        vari_data_len: bool = False,
+        seed: int = 42,
+    ):
+        self.files = sorted(glob.glob(root))
+        if not self.files:
+            raise FileNotFoundError(f"no shards match {root!r}")
+        self.context_size = context_size
+        self.batch_size = batch_size
+        self.mode = mode
+        self.vari_data_len = vari_data_len
+        self.rng = np.random.default_rng(seed)
+        self.total_nodes = 0
+        for f in self.files:
+            try:
+                self.total_nodes += int(f.rsplit("_", 1)[-1].split(".")[0])
+            except ValueError:
+                self.total_nodes += np.load(f, mmap_mode="r").shape[0]
+
+    def steps_per_epoch(self) -> int:
+        return max(self.total_nodes // (self.context_size * self.batch_size), 1)
+
+    def _window_iter(self):
+        """Yield (data(N,4,3) int32, pos float32, label int32) windows."""
+        csz = self.context_size
+        while True:
+            order = self.rng.permutation(len(self.files))
+            for fi in order:
+                shard = np.load(self.files[fi], mmap_mode="r")
+                n_win = shard.shape[0] // csz
+                if n_win == 0:
+                    continue
+                win_order = self.rng.permutation(n_win) if self.mode == "ehem" else range(n_win)
+                max_level = int(shard[:, -1, 1].max())
+                for w in win_order:
+                    rows = np.array(shard[w * csz : (w + 1) * csz])
+                    rows[:, :, 0] -= 1  # occupancy 1..255 -> 0..254
+                    if self.mode == "ehem":
+                        pos = rows[:, -1, 3:6].astype(np.float32)
+                        lo, hi = pos.min(), pos.max()
+                        pos = (pos - lo) / (hi - lo + 1e-9)
+                        data = rows[:, :, :3]
+                        # (occ, level, octant) -> (level, octant, occ)
+                        data = np.concatenate((data[:, :, 1:], data[:, :, :1]), axis=2)
+                        label = data[:, -1, 2].copy()
+                    else:
+                        pos = (rows[:, :, 3:6] / float(2**max_level)).astype(np.float32)
+                        data = rows[:, :, :3]
+                        label = data[:, -1, 0].copy()
+                    yield (
+                        data.astype(np.int32),
+                        pos,
+                        label.astype(np.int32),
+                    )
+
+    def batches(self):
+        """Yield stacked batches; EHEM optionally truncates to a bucket."""
+        it = self._window_iter()
+        while True:
+            items = [next(it) for _ in range(self.batch_size)]
+            data = np.stack([x[0] for x in items])
+            pos = np.stack([x[1] for x in items])
+            label = np.stack([x[2] for x in items])
+            if self.mode == "ehem" and self.vari_data_len and self.rng.random() < 0.3:
+                sz = int(self.rng.choice(EHEM_LEN_BUCKETS))
+                if sz < data.shape[1]:
+                    data, pos, label = data[:, :sz], pos[:, :sz], label[:, :sz]
+            yield {"data": data, "pos": pos, "label": label}
+
+
+def prefetch(generator, depth: int = 2):
+    """Host-side prefetch thread (the reference's worker pool equivalent)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in generator:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+def build_dataset(cfg) -> ShardDataset:
+    mode = "ehem" if str(cfg.data.dataset_name).upper().startswith("EHEM") else "octattn"
+    return ShardDataset(
+        root=cfg.data.root,
+        context_size=cfg.data.context_size,
+        batch_size=cfg.data.batch_size,
+        mode=mode,
+        vari_data_len=bool(cfg.data.get("vari_data_len", False)),
+        seed=int(cfg.get("seed", 42)),
+    )

@@ -1,0 +1,164 @@
+"""Model unit tests: shapes, causality, dual-stream and checkerboard
+information-flow properties (the properties that make the codec lossless)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scp_tpu.config import load_config
+from scp_tpu.models import build_model
+from scp_tpu.models.ehem import EHEM
+from scp_tpu.models.octattention import OctAttention
+
+
+def tiny_octattention():
+    return OctAttention(
+        occ_embed_dim=16,
+        level_embed_dim=4,
+        octant_embed_dim=4,
+        abs_pos_embed_dim=8,
+        num_layers=2,
+        num_heads=2,
+        hidden_dim=64,
+        context_size=64,
+    )
+
+
+def make_octattn_inputs(rng, b=2, n=32, k=4):
+    data = np.stack(
+        [
+            rng.integers(0, 256, (b, n, k)),
+            rng.integers(0, 13, (b, n, k)),
+            rng.integers(0, 9, (b, n, k)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    pos = rng.random((b, n, k, 3), dtype=np.float32)
+    return jnp.asarray(data), jnp.asarray(pos)
+
+
+def test_octattention_shapes(rng):
+    model = tiny_octattention()
+    data, pos = make_octattn_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), data, pos)
+    out = model.apply(params, data, pos)
+    assert out.shape == (2, 32, 255)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_octattention_causal_and_dual_stream(rng):
+    """Logits at position i must not depend on occupancies at positions >= i
+    of the node stream, NOR on node i's own occupancy."""
+    model = tiny_octattention()
+    data, pos = make_octattn_inputs(rng, b=1, n=16)
+    params = model.init(jax.random.PRNGKey(0), data, pos)
+    base = np.asarray(model.apply(params, data, pos))
+
+    # perturb own occupancy of node 7 (channel 0, ancestor row -1)
+    d2 = data.at[0, 7, -1, 0].set((data[0, 7, -1, 0] + 13) % 255)
+    out2 = np.asarray(model.apply(params, d2, pos))
+    np.testing.assert_allclose(out2[0, :8], base[0, :8], atol=1e-5)
+    assert not np.allclose(out2[0, 8:], base[0, 8:], atol=1e-5)
+
+    # perturb a future node (position 12) entirely
+    d3 = data.at[0, 12].set((data[0, 12] + 1) % 9)
+    out3 = np.asarray(model.apply(params, d3, pos))
+    np.testing.assert_allclose(out3[0, :12], base[0, :12], atol=1e-5)
+
+
+def tiny_ehem():
+    return EHEM(
+        self_depths=(2, 2),
+        cross_depths=(1,),
+        embed_dim=64,
+        num_heads=2,
+        window_size=16,
+        mlp_ratio=2.0,
+        knn_k=4,
+    )
+
+
+def make_ehem_inputs(rng, b=1, n=64, k=4):
+    data = np.stack(
+        [
+            rng.integers(0, 19, (b, n, k)),  # level
+            rng.integers(0, 9, (b, n, k)),  # octant
+            rng.integers(0, 255, (b, n, k)),  # occ (0..254)
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    pos = rng.random((b, n, 3), dtype=np.float32)
+    return jnp.asarray(data), jnp.asarray(pos)
+
+
+def test_ehem_shapes(rng):
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    out = model.apply(variables, data, pos)
+    assert out.shape == (1, 64, 255)
+    l1, l2 = model.apply(variables, data, pos, method=EHEM.encode_probs)
+    assert l1.shape == (1, 32, 255) and l2.shape == (1, 32, 255)
+    # interleaving consistency
+    np.testing.assert_allclose(np.asarray(out)[0, ::2], np.asarray(l1)[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[0, 1::2], np.asarray(l2)[0], atol=1e-6)
+
+
+def test_ehem_odd_length(rng):
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng, n=33)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    out = model.apply(variables, data, pos)
+    assert out.shape == (1, 33, 255)
+    l1, l2 = model.apply(variables, data, pos, method=EHEM.encode_probs)
+    assert l1.shape == (1, 17, 255) and l2.shape == (1, 16, 255)
+
+
+def test_ehem_checkerboard_information_flow(rng):
+    """Group-1 logits must not depend on ANY current-node occupancy;
+    group-2 logits must depend on group-1 occupancies but not group-2's."""
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng, n=32)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    l1, l2 = model.apply(variables, data, pos, method=EHEM.encode_probs)
+
+    # perturb a group-2 node's own occupancy -> nothing changes
+    d = data.at[0, 5, -1, 2].set((data[0, 5, -1, 2] + 7) % 255)
+    m1, m2 = model.apply(variables, d, pos, method=EHEM.encode_probs)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(l1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(l2), atol=1e-6)
+
+    # perturb a group-1 node's own occupancy -> only group 2 changes
+    d = data.at[0, 4, -1, 2].set((data[0, 4, -1, 2] + 7) % 255)
+    m1, m2 = model.apply(variables, d, pos, method=EHEM.encode_probs)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(l1), atol=1e-6)
+    assert not np.allclose(np.asarray(m2), np.asarray(l2), atol=1e-6)
+
+
+def test_ehem_decode_phases_match_encode(rng):
+    """Two-phase decode with cached features == one-shot encode probs."""
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng, n=32)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    l1, l2 = model.apply(variables, data, pos, method=EHEM.encode_probs)
+
+    # decode-side: current occupancies unknown
+    d_unk = data.at[:, :, -1, 2].set(255)
+    p1, f1, f2 = model.apply(variables, d_unk, pos, method=EHEM.decode_phase1)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(l1), atol=1e-5)
+    group1_occ = data[:, ::2, -1, 2]
+    p2 = model.apply(
+        variables, f1, f2, group1_occ, False, method=EHEM.decode_phase2
+    )
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(l2), atol=1e-5)
+
+
+def test_build_model_from_config():
+    cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
+    m = build_model(cfg)
+    assert isinstance(m, EHEM)
+    cfg2 = load_config("train_kitti.yaml", config_dir="configs")
+    m2 = build_model(cfg2)
+    assert isinstance(m2, OctAttention)
+    assert cfg.data.context_size == 8192  # interpolation resolved
