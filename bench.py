@@ -1,0 +1,117 @@
+"""Headline benchmark: EHEM encode+decode throughput (points/sec) on one
+TPU chip, KITTI-like synthetic LiDAR cloud at lidar_level 16.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the reference (PyTorch EHEM on one A100-class GPU) processes
+roughly 6e4 points/sec through encode+decode at KITTI L16 (SURVEY.md §6 —
+the repo commits no numbers; 2s/frame for a ~120k-point scan is the
+published EHEM order of magnitude).  BASELINE.md's north star is >=10x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "scp_tpu_xla"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 6.0e4
+N_POINTS = int(os.environ.get("BENCH_POINTS", 120_000))
+
+
+def synth_kitti(rng, n):
+    """Ring-structured LiDAR-like sweep (64 elevation beams)."""
+    beams = 64
+    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))[rng.integers(0, beams, n)]
+    az = rng.uniform(0, 2 * np.pi, n)
+    r = np.clip(rng.gamma(3.0, 8.0, n) + 2.0, 2.0, 120.0)
+    x = r * np.cos(el) * np.cos(az)
+    y = r * np.cos(el) * np.sin(az)
+    z = r * np.sin(el)
+    return np.stack([x, y, z], 1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scp_tpu import ac
+    from scp_tpu.codec.ehem_codec import EHEMCodec
+    from scp_tpu.codec.slices import split_levels
+    from scp_tpu.core.preprocess import kitti_qs, preprocess_points
+    from scp_tpu.models.ehem import EHEM
+
+    rng = np.random.default_rng(0)
+    pts = synth_kitti(rng, N_POINTS)
+
+    t0 = time.time()
+    res = preprocess_points(pts, system="spher", qs=kitti_qs(16))
+    slices = split_levels(res.context, angular=True)
+    t_pre = time.time() - t0
+
+    model = EHEM(dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 16, 4, 3), np.int32),
+        np.zeros((1, 16, 3), np.float32),
+    )
+    codec = EHEMCodec(model, variables, context_size=8192)
+
+    # Warm-up: compile every bucket used by this cloud (excluded from timing).
+    from scp_tpu.codec.slices import bucket_for
+
+    buckets = set()
+    for li in range(slices.num_levels):
+        n_l = slices.data[li].shape[0]
+        for start in range(0, n_l, 8192):
+            buckets.add(bucket_for(min(8192, n_l - start), 8192))
+    for b in sorted(buckets):
+        d = np.zeros((b, 4, 3), np.int32)
+        p = np.zeros((b, 3), np.float32)
+        p1, f1, f2, _ = codec._chunk_probs_phase1(d, p, b)
+        codec._chunk_probs_phase2(f1, f2, np.zeros(b // 2, np.int32), b, b)
+
+    t0 = time.time()
+    stream, bits, model_s = codec.encode_to_stream(slices)
+    t_enc = time.time() - t0
+
+    t0 = time.time()
+    dec = ac.ArithmeticDecoder(stream, slices.occ_stream.shape[0])
+    codes = codec.decode(
+        dec,
+        slices.max_level,
+        np.array(slices.pos_mm, np.int64),
+        angular=True,
+        ground_truth=slices.occ_stream,
+    )
+    t_dec = time.time() - t0
+    assert (codes == slices.occ_stream).all()
+
+    pps = N_POINTS / (t_enc + t_dec)
+    result = {
+        "metric": "ehem_enc_dec_points_per_sec_L16",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+    }
+    print(
+        f"# n_points={N_POINTS} nodes={slices.occ_stream.shape[0]} "
+        f"pre={t_pre:.2f}s enc={t_enc:.2f}s (model {model_s:.2f}s) "
+        f"dec={t_dec:.2f}s bpp={bits / N_POINTS:.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,8 @@ def quantize_cdf(cdf_float: np.ndarray) -> np.ndarray:
 
 
 def pdf_to_cdf(pdf: np.ndarray) -> np.ndarray:
-    """PDF rows (N, L) -> normalized CDF rows (N, L+1) with leading zero."""
+    """PDF rows (N, L) -> normalized CDF rows (N, L+1) with leading zero.
+    Keeps the input dtype (float32 on the hot path)."""
     c = np.cumsum(pdf, axis=-1)
     c = c / c[..., -1:]
     zeros = np.zeros((*c.shape[:-1], 1), dtype=c.dtype)
@@ -61,8 +62,9 @@ class ArithmeticEncoder:
     def encode(
         self, pdf: np.ndarray, syms: np.ndarray, binfile: str | None = None
     ) -> tuple[bytes, int]:
-        """Returns (byte_stream, bit_count). pdf (N, L); syms (N,)."""
-        pdf = np.asarray(pdf, dtype=np.float64)
+        """Returns (byte_stream, bit_count). pdf (N, L); syms (N,).
+        The pdf dtype is preserved (see ArithmeticDecoder.decode_batch)."""
+        pdf = np.asarray(pdf)
         syms = np.asarray(syms, dtype=np.int16)
         assert pdf.ndim == 2 and syms.ndim == 1 and pdf.shape[0] == syms.shape[0]
         check_pdf(pdf, syms)
@@ -80,6 +82,47 @@ def encode_quantized(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
     from scp_tpu.ac.py_coder import py_encode
 
     return py_encode(cdf_u16, syms)
+
+
+class StreamingEncoder:
+    """Chunk-wise encoder: feed per-chunk PDFs as they are produced so the
+    host never materializes a whole-cloud probability table."""
+
+    def __init__(self):
+        if ac_native.available():
+            self._enc = ac_native.NativeEncoder()
+            self._rows = None
+        else:
+            self._enc = None
+            self._rows, self._syms = [], []
+        self.n_sym = 0
+
+    def append(self, pdf: np.ndarray, syms: np.ndarray):
+        syms = np.asarray(syms, dtype=np.int16)
+        if syms.size == 0:
+            return
+        check_pdf(pdf, syms)
+        cdf = pdf_to_quantized_cdf(np.asarray(pdf))
+        self.n_sym += syms.shape[0]
+        if self._enc is not None:
+            self._enc.append(cdf, syms)
+        else:
+            self._rows.append(cdf)
+            self._syms.append(syms)
+
+    def finish(self, binfile: str | None = None) -> tuple[bytes, int]:
+        if self._enc is not None:
+            stream = self._enc.finish()
+        else:
+            from scp_tpu.ac.py_coder import py_encode
+
+            stream = py_encode(
+                np.concatenate(self._rows), np.concatenate(self._syms)
+            )
+        if binfile is not None:
+            with open(binfile, "wb") as f:
+                f.write(stream)
+        return stream, len(stream) * 8
 
 
 class ArithmeticDecoder:
@@ -100,8 +143,11 @@ class ArithmeticDecoder:
     def decode_batch(self, pdf: np.ndarray) -> np.ndarray:
         """Decode pdf.shape[0] symbols; row i of the (M, L) pdf gates symbol
         i.  Replaces the reference's per-symbol Python loop
-        (`numpyAc.py:163-169`) with one native call."""
-        cdf = pdf_to_quantized_cdf(np.asarray(pdf, dtype=np.float64))
+        (`numpyAc.py:163-169`) with one native call.
+
+        The pdf dtype is preserved: encoder and decoder must quantize CDFs
+        through the identical float path or the range coder desyncs."""
+        cdf = pdf_to_quantized_cdf(np.asarray(pdf))
         return self._dec.decode_batch(cdf).astype(np.int64)
 
     def decode_one(self, pdf_row: np.ndarray) -> int:

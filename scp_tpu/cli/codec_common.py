@@ -152,36 +152,33 @@ class CodecSession:
         )
         angular = system in ("spher", "cylin")
 
-        all_pdfs, all_syms = [], []
+        enc = ac.StreamingEncoder()
         sub_sizes, mms, max_levels = [], [], []
-        elapsed = 0.0
-        slices_list = []
+        timers = [0.0]
         for ctx, _grid in results:
             if self.is_ehem:
                 slices = split_levels(ctx, angular=angular)
-                pdfs, syms, t = self.codec.encode(slices)
-                all_pdfs += pdfs
-                all_syms += syms
+                for p, s in self.codec.encode_chunks(slices, timers):
+                    enc.append(p, s)
                 mms.append(np.array(slices.pos_mm, np.int64))
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])
-                slices_list.append(slices)
             else:
+                t0 = time.time()
                 pdf, syms, t = self.codec.encode(ctx, sequential=sequential)
-                all_pdfs.append(pdf)
-                all_syms.append(syms)
+                timers[0] += t
+                enc.append(pdf, syms)
                 _, _, ml = self.codec.split_levels(ctx)
                 max_levels.append(ml)
                 sub_sizes.append(syms.shape[0])
                 mms.append(np.zeros((ml, 2), np.int64))
-            elapsed += t
+        elapsed = timers[0]
 
-        pdf = np.concatenate(all_pdfs, axis=0)
-        sym = np.concatenate(all_syms, axis=0)
-        payload, bits = ac.ArithmeticEncoder().encode(pdf, sym)
+        n_sym = enc.n_sym
+        payload, bits = enc.finish()
 
         header = StreamHeader(
-            n_sym=int(sym.shape[0]),
+            n_sym=int(n_sym),
             max_level=int(sum(max_levels)) if mullevel else int(max_levels[0]),
             system=system,
             bin_num=int(metrics["bin_num"]),
@@ -210,7 +207,7 @@ class CodecSession:
         )
 
         pt_num = metrics["ref_points"].shape[0]
-        oct_num = int(sym.shape[0])
+        oct_num = int(n_sym)
         return {
             "outputfile": outputfile,
             "seconds": elapsed,

@@ -31,6 +31,9 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from scp_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_args(argv)
     from scp_tpu.cli.codec_common import CodecSession, shard_name
     from scp_tpu.cli.encode import resolve_run

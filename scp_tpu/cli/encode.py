@@ -46,6 +46,9 @@ def resolve_run(ckpt_path: str):
 
 
 def main(argv=None):
+    from scp_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_args(argv)
     from scp_tpu.cli.codec_common import CodecSession
 

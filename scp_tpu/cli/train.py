@@ -22,7 +22,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from scp_tpu.config import load_config
+    from scp_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = load_config(args.config_name, args.config_dir, args.overrides)
     print(cfg.to_plain())
 

@@ -1,20 +1,31 @@
-"""EHEM level-wavefront codec: chunked two-phase encode, batched decode.
+"""EHEM wavefront codec — TPU-first, level-major, batched.
 
-Encode (reference compress_ehem, encode.py:85-160): per octree level, per
-8192-node chunk, group-1 (even) probabilities then group-2 (odd); the
-bitstream symbol order IS that emission order (the reference builds an
-explicit coding_order permutation, encode.py:128-136 — here probabilities
-are emitted directly in coding order).
+What the reference does (compress_ehem encode.py:85-160, decode_ehem.py
+:56-188): per octree level, per 8192-node chunk, run the model, emit
+group-1 (even) then group-2 (odd) probabilities, with the decoder calling
+the arithmetic coder once PER SYMBOL through Python.
 
-Decode (reference decode_ehem.py:56-188): expand all children of the
-previous level in vectorized form, chunk like the encoder, two-phase model
-calls, and batched AC decode (one native call per phase instead of the
-reference's per-symbol pybind loop, numpyAc.py:163-169).
+What this does instead (same model semantics, bitstream order re-designed
+for the hardware):
 
-Bit-exactness contract: the encoder runs the SAME two jitted programs
-(phase 1, phase 2) as the decoder, on identically padded bucket-shaped
-inputs, with one shared host-side softmax — so the CDFs the decoder derives
-are bit-identical to the encoder's and the range coder stays in sync.
+  * Coding order is LEVEL-MAJOR: all group-1 symbols of a level (chunk
+    order), then all group-2 symbols.  This turns decoding into
+      phase-1 for every chunk of the level (batched device calls)
+      -> ONE batched AC decode of all group-1 symbols
+      -> phase-2 for every chunk (batched, keyed by decoded group-1)
+      -> ONE batched AC decode of all group-2 symbols,
+    i.e. 2 device dispatches x ceil(chunks/G) and 2 native AC calls per
+    level, instead of 2 dispatches + 2 Python AC loops per chunk.
+  * Full 8192-node chunks are stacked on the batch axis (groups of
+    `group_size`), so the MXU sees (G*8192, ...) matmuls.
+  * Every shape is a power-of-two bucket -> a handful of XLA programs.
+  * The encoder runs the SAME two jitted programs as the decoder on
+    identically padded inputs with one shared host softmax, so CDFs agree
+    bit-for-bit and the range coder never desyncs.
+
+The chunk-local checkerboard (even/odd within a chunk) is preserved, so
+per-symbol probabilities — and therefore bpp — are identical to the
+per-chunk ordering; only the stream permutation differs.
 """
 
 from __future__ import annotations
@@ -38,12 +49,19 @@ from scp_tpu.models.ehem import EHEM
 
 
 class EHEMCodec:
-    def __init__(self, model: EHEM, variables: dict, context_size: int = 8192):
+    def __init__(
+        self,
+        model: EHEM,
+        variables: dict,
+        context_size: int = 8192,
+        group_size: int = 4,
+    ):
         self.model = model
         self.variables = variables
         self.context_size = context_size
-        # Variables are runtime arguments (not closure constants) so the
-        # params stay device-resident buffers instead of HLO constants.
+        self.group_size = group_size
+        # Variables are runtime arguments (not closure constants) so params
+        # stay device buffers instead of HLO constants.
         self._phase1_fn = jax.jit(
             lambda v, d, p: model.apply(v, d, p, method=EHEM.decode_phase1)
         )
@@ -53,68 +71,115 @@ class EHEMCodec:
             )
         )
 
-    def _phase1(self, d, p):
-        return self._phase1_fn(self.variables, d, p)
+    # ---- batched chunk drivers ------------------------------------------
 
-    def _phase2(self, f1, f2, occ1, trim):
-        del trim
-        return self._phase2_fn(self.variables, f1, f2, occ1)
-
-    # -- shared per-chunk model driver -------------------------------------
-
-    def _chunk_probs_phase1(self, data_c, pos_c, m):
-        b = bucket_for(m, self.context_size)
-        dpad, ppad = pad_rows(data_c, pos_c, b)
-        logits1, f1, f2 = self._phase1(dpad[None], ppad[None])
-        n1 = (m + 1) // 2
-        p1 = softmax_np(np.asarray(logits1)[0, :n1])
-        return p1, f1, f2, b
-
-    def _chunk_probs_phase2(self, f1, f2, evens_occ, m, b):
-        n2 = m // 2
-        if n2 == 0:
-            return np.zeros((0, 255))
-        occ_pad = np.full(b // 2, 255, np.int32)
-        occ_pad[: evens_occ.shape[0]] = evens_occ
-        logits2 = self._phase2(f1, f2, occ_pad[None], False)
-        return softmax_np(np.asarray(logits2)[0, :n2])
-
-    # -- encode -------------------------------------------------------------
-
-    def encode(self, slices: LevelSlices):
-        """-> (pdf_rows list, sym_rows list, model_seconds). The caller
-        range-codes the concatenated rows (they are in coding order)."""
+    def _level_chunks(self, d, pos):
+        """Split one level into chunk index ranges [(start, m), ...]."""
         csz = self.context_size
-        pdfs, syms = [], []
-        elapsed = 0.0
+        n = d.shape[0]
+        return [(s, min(csz, n - s)) for s in range(0, n, csz)]
+
+    def _phase1_level(self, d, pos):
+        """Run phase 1 for every chunk of a level.
+
+        Returns (p1_rows_per_chunk, handles) where handles carry the device
+        residuals (f1, f2) per batched call for phase 2.  Device dispatch is
+        async; logits are fetched lazily per chunk.
+        """
+        csz = self.context_size
+        chunks = self._level_chunks(d, pos)
+        full = [(s, m) for (s, m) in chunks if m == csz]
+        partial = [(s, m) for (s, m) in chunks if m < csz]
+
+        calls = []  # (chunk_list, logits_dev, f1_dev, f2_dev, bucket)
+        g = self.group_size
+        for i in range(0, len(full), g):
+            batch = full[i : i + g]
+            # pad short final groups with dummy chunks: one compiled program
+            # per (group_size, bucket) instead of one per batch size
+            padded = batch + [batch[0]] * (g - len(batch)) if len(full) > g else batch
+            db = np.stack([d[s : s + m] for s, m in padded])
+            pb = np.stack([pos[s : s + m] for s, m in padded])
+            logits1, f1, f2 = self._phase1_fn(self.variables, db, pb)
+            calls.append((batch, logits1, f1, f2, csz))
+        for s, m in partial:
+            b = bucket_for(m, csz)
+            dp, pp = pad_rows(d[s : s + m], pos[s : s + m], b)
+            logits1, f1, f2 = self._phase1_fn(
+                self.variables, dp[None], pp[None]
+            )
+            calls.append(([(s, m)], logits1, f1, f2, b))
+        return calls
+
+    def _phase1_probs(self, calls):
+        """Fetch per-chunk group-1 pdf rows in chunk order."""
+        rows = {}
+        for batch, logits1, _f1, _f2, _b in calls:
+            host = np.asarray(logits1)
+            for bi, (s, m) in enumerate(batch):
+                rows[s] = softmax_np(host[bi, : (m + 1) // 2])
+        return [rows[k] for k in sorted(rows)]
+
+    def _phase2_level(self, calls, evens_by_chunk):
+        """Run phase 2 for every chunk given its group-1 occupancies."""
+        rows = {}
+        for batch, _logits1, f1, f2, b in calls:
+            occ = np.full((f1.shape[0], b // 2), 255, np.int32)  # padded batch
+            for bi, (s, m) in enumerate(batch):
+                e = evens_by_chunk[s]
+                occ[bi, : e.shape[0]] = e
+            logits2 = self._phase2_fn(self.variables, f1, f2, occ)
+            host = np.asarray(logits2)
+            for bi, (s, m) in enumerate(batch):
+                if m // 2:
+                    rows[s] = softmax_np(host[bi, : m // 2])
+        return [rows[k] for k in sorted(rows)]
+
+    # ---- encode -----------------------------------------------------------
+
+    def encode_chunks(self, slices: LevelSlices, timers: list | None = None):
+        """Generator of (pdf_rows, sym_rows) in coding order: per level, all
+        group-1 rows (chunk order) then all group-2 rows."""
         for li in range(slices.num_levels):
             d = slices.data[li]
             pos = slices.level_pos(li)
-            occ = d[:, -1, 2].astype(np.int16)
-            for start in range(0, d.shape[0], csz):
-                dc = d[start : start + csz]
-                pc = pos[start : start + csz]
-                oc = occ[start : start + csz]
-                m = dc.shape[0]
-                t0 = time.time()
-                p1, f1, f2, b = self._chunk_probs_phase1(dc, pc, m)
-                p2 = self._chunk_probs_phase2(f1, f2, oc[::2].astype(np.int32), m, b)
-                elapsed += time.time() - t0
-                pdfs.append(p1)
-                syms.append(oc[::2])
-                if p2.shape[0]:
-                    pdfs.append(p2)
-                    syms.append(oc[1::2])
-        return pdfs, syms, elapsed
+            occ = d[:, -1, 2]
+            t0 = time.time()
+            calls = self._phase1_level(d, pos)
+            p1_rows = self._phase1_probs(calls)
+            if timers is not None:
+                timers[0] += time.time() - t0
+            chunks = self._level_chunks(d, pos)
+            evens = {s: occ[s : s + m][0::2].astype(np.int32) for s, m in chunks}
+            for (s, m), p1 in zip(chunks, p1_rows):
+                yield p1, occ[s : s + m][0::2].astype(np.int16)
+            t0 = time.time()
+            p2_rows = self._phase2_level(calls, evens)
+            if timers is not None:
+                timers[0] += time.time() - t0
+            odd_chunks = [(s, m) for s, m in chunks if m // 2]
+            for (s, m), p2 in zip(odd_chunks, p2_rows):
+                yield p2, occ[s : s + m][1::2].astype(np.int16)
+
+    def encode(self, slices: LevelSlices):
+        """Materialized form: (pdf_rows list, sym_rows list, model_seconds)."""
+        timers = [0.0]
+        pdfs, syms = [], []
+        for p, s in self.encode_chunks(slices, timers):
+            pdfs.append(p)
+            syms.append(s)
+        return pdfs, syms, timers[0]
 
     def encode_to_stream(self, slices: LevelSlices):
-        pdfs, syms, elapsed = self.encode(slices)
-        pdf = np.concatenate(pdfs, axis=0)
-        sym = np.concatenate(syms, axis=0)
-        stream, bits = ac.ArithmeticEncoder().encode(pdf, sym)
-        return stream, bits, elapsed
+        """Streaming: probabilities are range-coded as they are produced."""
+        timers = [0.0]
+        enc = ac.StreamingEncoder()
+        for p, s in self.encode_chunks(slices, timers):
+            enc.append(p, s)
+        stream, bits = enc.finish()
+        return stream, bits, timers[0]
 
-    # -- decode -------------------------------------------------------------
+    # ---- decode -----------------------------------------------------------
 
     def decode(
         self,
@@ -125,14 +190,13 @@ class EHEMCodec:
         lidar_clip: int | None = None,
         ground_truth: np.ndarray | None = None,
     ) -> np.ndarray:
-        """Wavefront decode one octree from an open AC decoder.
+        """Level-wavefront decode from an open AC decoder.
 
         pos_mm: (max_level, 2) per-level (min, max) of current-node grid
-        positions (ignored when not angular). Returns occupancies 0..254 in
-        BFS order.  `ground_truth` (0..254) enables the reference's
-        decode-time assert (decode_ehem.py:184).
+        positions (ignored when not angular).  Returns occupancies 0..254
+        in BFS order.  `ground_truth` enables the reference's decode-time
+        assert (reference decode_ehem.py:184).
         """
-        csz = self.context_size
         clip = lidar_clip if lidar_clip is not None else np.iinfo(np.int32).max
 
         # Root context: 3 missing-ancestor rows + self (level 1, octant 1).
@@ -148,43 +212,57 @@ class EHEMCodec:
             n = data.shape[0]
             mm = tuple(pos_mm[level - 1]) if angular else (0, 0)
             pos = normalize_positions(pos_int, mm, max_level, angular)
+            dc = data.copy()
+            dc[:, :, 0] = np.minimum(dc[:, :, 0], clip)  # level channel only
+
+            chunks = self._level_chunks(dc, pos)
+            calls = self._phase1_level(dc, pos)
+            p1_rows = self._phase1_probs(calls)
+            evens_flat = dec.decode_batch(np.concatenate(p1_rows)).astype(np.int32)
+            evens_by_chunk = {}
+            off = 0
+            for s, m in chunks:
+                cnt = (m + 1) // 2
+                evens_by_chunk[s] = evens_flat[off : off + cnt]
+                off += cnt
+
+            p2_rows = self._phase2_level(calls, evens_by_chunk)
+            odd_chunks = [(s, m) for s, m in chunks if m // 2]
+            if p2_rows:
+                odds_flat = dec.decode_batch(np.concatenate(p2_rows)).astype(np.int32)
+            else:
+                odds_flat = np.zeros(0, np.int32)
+
             level_occ = np.empty(n, np.int32)
-            for start in range(0, n, csz):
-                dc = data[start : start + csz].copy()
-                dc[:, :, 0] = np.minimum(dc[:, :, 0], clip)  # level channel only
-                pc = pos[start : start + csz]
-                m = dc.shape[0]
-                p1, f1, f2, b = self._chunk_probs_phase1(dc, pc, m)
-                evens = dec.decode_batch(p1).astype(np.int32)
-                p2 = self._chunk_probs_phase2(f1, f2, evens, m, b)
-                if p2.shape[0]:
-                    odds = dec.decode_batch(p2).astype(np.int32)
-                else:
-                    odds = np.zeros(0, np.int32)
-                chunk_occ = np.empty(m, np.int32)
-                chunk_occ[0::2] = evens
-                chunk_occ[1::2] = odds
-                level_occ[start : start + m] = chunk_occ
-                if ground_truth is not None:
-                    want = ground_truth[decoded : decoded + m]
-                    got = chunk_occ.astype(np.int16)
-                    assert (want == got).all(), (
-                        f"decode mismatch at level {level} nodes "
-                        f"{decoded}..{decoded + m}"
-                    )
-                decoded += m
+            off = 0
+            for s, m in chunks:
+                level_occ[s : s + m : 2] = evens_by_chunk[s]
+            for s, m in odd_chunks:
+                cnt = m // 2
+                level_occ[s + 1 : s + m : 2] = odds_flat[off : off + cnt]
+                off += cnt
+
+            if ground_truth is not None:
+                want = ground_truth[decoded : decoded + n]
+                assert (want == level_occ.astype(np.int16)).all(), (
+                    f"decode mismatch at level {level}"
+                )
+            decoded += n
             codes.append(level_occ.astype(np.int16))
             if level == max_level:
                 break
-            data, pos_int = _expand_children(data, pos_int, level_occ, level + 1, max_level)
+            data, pos_int = _expand_children(
+                data, pos_int, level_occ, level + 1, max_level
+            )
         return np.concatenate(codes)
 
 
 def _expand_children(data, pos_int, level_occ, child_level, max_level):
-    """Vectorized wavefront expansion (reference decode_ehem.py:113-145).
+    """Vectorized wavefront expansion (role of reference
+    decode_ehem.py:113-145).
 
-    data: (n, 4, 3) current-level contexts with occ channel now filled;
-    returns (m, 4, 3) child contexts (occ unknown) + (m, 3) grid positions.
+    data: (n, 4, 3) current-level contexts; returns (m, 4, 3) child
+    contexts (occ unknown) + (m, 3) integer grid positions.
     """
     filled = data.copy()
     filled[:, -1, 2] = level_occ

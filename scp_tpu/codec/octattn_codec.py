@@ -90,7 +90,7 @@ class OctAttentionCodec:
         for data, pos in levels:
             n = data.shape[0]
             rows_d, rows_p = self._pad_prefix(data, pos)
-            probs = np.zeros((n, self.model.token_num))
+            probs = np.zeros((n, self.model.token_num), np.float32)
             if sequential:
                 # Sliding window: node i sits at the last window position.
                 for i in range(n):

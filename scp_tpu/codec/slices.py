@@ -25,9 +25,9 @@ def bucket_for(n: int, max_bucket: int = 8192) -> int:
 
 
 def softmax_np(logits: np.ndarray) -> np.ndarray:
-    """Stable softmax in float64 — the ONE softmax both encoder and decoder
-    use, so quantized CDFs agree bit-for-bit."""
-    x = logits.astype(np.float64)
+    """Stable softmax in float32 — the ONE softmax both encoder and decoder
+    use, so quantized CDFs agree bit-for-bit (and stay cheap on the host)."""
+    x = logits.astype(np.float32)
     x = x - x.max(axis=-1, keepdims=True)
     e = np.exp(x)
     return e / e.sum(axis=-1, keepdims=True)

@@ -125,7 +125,12 @@ def _load_file(path: str, config_dir: str) -> dict:
     merged: dict = {}
     for entry in defaults:
         if isinstance(entry, str):
-            merged = _deep_merge(merged, _load_file(os.path.join(config_dir, entry), config_dir))
+            # plain entries resolve relative to the including file's dir
+            # (e.g. data/kitti_ehem.yaml -> data/default.yaml)
+            merged = _deep_merge(
+                merged,
+                _load_file(os.path.join(os.path.dirname(path), entry), config_dir),
+            )
         elif isinstance(entry, dict):
             for group, name in entry.items():
                 sub = _load_file(os.path.join(config_dir, group, name), config_dir)

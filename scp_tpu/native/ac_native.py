@@ -43,6 +43,20 @@ def _lib():
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.ac_encoder_new.restype = ctypes.c_void_p
+        lib.ac_encoder_new.argtypes = []
+        lib.ac_encoder_append.restype = None
+        lib.ac_encoder_append.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.ac_encoder_finish.restype = ctypes.c_int64
+        lib.ac_encoder_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ac_encoder_free.restype = None
+        lib.ac_encoder_free.argtypes = [ctypes.c_void_p]
         _CONFIGURED = True
     return lib
 
@@ -70,6 +84,43 @@ def encode_cdf(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
         return ctypes.string_at(buf, out_len.value)
     finally:
         lib.ac_free(buf)
+
+
+class NativeEncoder:
+    """Streaming encoder: append (cdf_rows, syms) chunks, then finish()."""
+
+    def __init__(self):
+        self._lib = _lib()
+        self._h = self._lib.ac_encoder_new()
+
+    def append(self, cdf_u16: np.ndarray, syms: np.ndarray):
+        cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+        syms = np.ascontiguousarray(syms, dtype=np.int16)
+        m, lp = cdf_u16.shape
+        self._lib.ac_encoder_append(
+            self._h,
+            cdf_u16.ctypes.data_as(ctypes.c_void_p),
+            m,
+            lp,
+            syms.ctypes.data_as(ctypes.c_void_p),
+        )
+
+    def finish(self) -> bytes:
+        n = self._lib.ac_encoder_finish(self._h, None)
+        buf = ctypes.create_string_buffer(n)
+        self._lib.ac_encoder_finish(self._h, buf)
+        return buf.raw
+
+    def close(self):
+        if self._h:
+            self._lib.ac_encoder_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeDecoder:

@@ -92,6 +92,7 @@ struct Encoder {
   uint32_t low = 0;
   uint32_t high = 0xFFFFFFFFu;
   uint64_t pending = 0;
+  bool finished = false;
   BitWriter out;
 
   void encode(uint32_t c_low, uint32_t c_high) {
@@ -172,6 +173,37 @@ struct Decoder {
 }  // namespace
 
 extern "C" {
+
+// ---- streaming encoder: append chunks, finish once ----------------------
+
+void* ac_encoder_new() { return new Encoder(); }
+
+void ac_encoder_append(void* enc_ptr, const uint16_t* cdf, int64_t m,
+                       int32_t Lp, const int16_t* syms) {
+  Encoder* enc = static_cast<Encoder*>(enc_ptr);
+  for (int64_t i = 0; i < m; ++i) {
+    const uint16_t* row = cdf + i * Lp;
+    const int s = syms[i];
+    const uint32_t c_low = row[s];
+    const uint32_t c_high = (s == Lp - 2) ? kProbScale : row[s + 1];
+    enc->encode(c_low, c_high);
+  }
+}
+
+// Finish and copy the stream out; returns length. Call with buf=null to
+// query the size first (idempotent: finish() runs once).
+int64_t ac_encoder_finish(void* enc_ptr, uint8_t* buf) {
+  Encoder* enc = static_cast<Encoder*>(enc_ptr);
+  if (!enc->finished) {
+    enc->finish();
+    enc->finished = true;
+  }
+  const auto& bytes = enc->out.bytes();
+  if (buf) std::memcpy(buf, bytes.data(), bytes.size());
+  return static_cast<int64_t>(bytes.size());
+}
+
+void ac_encoder_free(void* enc_ptr) { delete static_cast<Encoder*>(enc_ptr); }
 
 // Encode n_sym symbols against per-symbol CDF rows (n_sym x Lp uint16).
 // Returns a malloc'd byte buffer (caller frees with ac_free) and its length.

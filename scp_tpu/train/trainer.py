@@ -35,6 +35,11 @@ from scp_tpu.config import Config, save_config
 from scp_tpu.models import build_model
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["params", "batch_stats", "opt_state", "step"],
+    meta_fields=[],
+)
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -69,6 +74,10 @@ class Trainer:
         if mesh is None:
             devs = jax.devices()
             n = cfg.get("devices") or len(devs)
+            # the data axis must divide the global batch
+            batch = int(cfg.data.batch_size)
+            while n > 1 and batch % n:
+                n -= 1
             mesh = Mesh(np.array(devs[:n]), ("data",))
         self.mesh = mesh
         dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32

@@ -18,6 +18,9 @@ def enable_compilation_cache():
 
 
 def force_cpu(virtual_devices: int | None = None):
+    """Really force CPU.  The container's sitecustomize registers the axon
+    TPU plugin and overrides JAX_PLATFORMS, so the env var alone is NOT
+    enough — the config must be updated after jax import too."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     if virtual_devices:
         flags = os.environ.get("XLA_FLAGS", "")
@@ -25,3 +28,6 @@ def force_cpu(virtual_devices: int | None = None):
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={virtual_devices}"
             ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

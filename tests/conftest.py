@@ -23,6 +23,10 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon otherwise
+
 import numpy as np
 import pytest
 

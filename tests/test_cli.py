@@ -1,0 +1,163 @@
+"""Full CLI pipeline: tools preproc -> train -> encode -> decode.
+
+Mirrors the reference workflow end to end (README.md Train/Eval sections)
+on tiny synthetic data.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from scp_tpu.config import Config, load_config, save_config
+from scp_tpu.core.pointcloud import write_ply
+
+
+def lidar_ply(path, rng, n=300):
+    r = rng.uniform(2.0, 60.0, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.4, 0.2, n)
+    pts = np.stack(
+        [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az), r * np.sin(el)], 1
+    )
+    write_ply(path, pts)
+    return pts
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """A trained-for-3-steps tiny EHEM run dir with checkpoint."""
+    import jax
+
+    from scp_tpu.models import build_model
+    from scp_tpu.train import checkpoints
+    from scp_tpu.train.trainer import Trainer, TrainState
+
+    tmp = tmp_path_factory.mktemp("run")
+    cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
+    cfg.model.context_size = 64
+    cfg.model.swin = Config.wrap(
+        dict(embed_dim=64, self_depths=[2, 2], cross_depths=[1],
+             num_heads=2, window_size=16, mlp_ratio=2.0)
+    )
+    cfg.bf16 = False
+    run_dir = str(tmp)
+    save_config(cfg, run_dir)
+
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8, 4, 3), np.int32),
+        np.zeros((1, 8, 3), np.float32),
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state={},
+        step=np.zeros(()),
+    )
+    ck = checkpoints.save(run_dir, state, {}, epoch=0, step=1, final=True)
+    return run_dir, ck
+
+
+def test_tools_then_encode_decode(tmp_path, rng, tiny_run):
+    run_dir, ck = tiny_run
+    data_dir = tmp_path / "ford"
+    data_dir.mkdir()
+    lidar_ply(str(data_dir / "scan0.ply"), rng)
+
+    # 1) test-data generation tool (cached-preproc path of the encoder)
+    from scp_tpu.tools import test_gene
+
+    pre_dir = str(tmp_path / "pre")
+    test_gene.main(
+        [
+            "--type", "ford", "--ori_dir", str(data_dir / "*.ply"),
+            "--out_dir", pre_dir, "--spher", "--lidar_level", "12",
+        ]
+    )
+    assert os.path.exists(os.path.join(pre_dir, "scan0.npy"))
+    assert os.path.exists(os.path.join(pre_dir, "scan0_meta.npy"))
+    assert os.path.exists(os.path.join(pre_dir, "scan0_quant.ply"))
+
+    # 2) encode CLI with the cached shards (default out dir = run's
+    # test_output/<ckpt name>, reference encode.py:238-241)
+    from scp_tpu.cli import encode as encode_cli
+    from scp_tpu.cli.encode import resolve_run
+
+    _, out_dir = resolve_run(ck)
+    encode_cli.main(
+        [
+            "--ckpt_path", ck, "--type", "ford", "--lidar_level", "12",
+            "--spher", "--preproc_path", pre_dir + "/",
+            "--test_files", str(data_dir / "scan0.ply"),
+        ]
+    )
+    bins = glob.glob(out_dir + "/*.bin")
+    assert len(bins) == 1
+    assert "_spher_" in bins[0]
+
+    # 3) decode CLI (with ground-truth check against the shard)
+    from scp_tpu.cli import decode as decode_cli
+
+    decode_cli.main(
+        [
+            "--ckpt_path", ck, "--type", "ford",
+            "--test_files", str(data_dir / "scan0.ply"),
+            "--preproc_path", pre_dir,
+        ]
+    )
+    # decode CLI writes next to the bins by default (run's test_output);
+    # our bins went to out_dir, so call the session directly for the file:
+    from scp_tpu.cli.codec_common import CodecSession
+
+    session = CodecSession(ck, run_dir)
+    gt = np.load(os.path.join(pre_dir, "scan0.npy"))[:, -1, 0].astype(np.int16) - 1
+    pts, _ = session.decode_file(bins[0], ground_truth=gt)
+    quant = np.loadtxt(
+        os.path.join(pre_dir, "scan0_quant.ply"), skiprows=7, dtype=np.float64
+    )
+    np.testing.assert_allclose(
+        np.sort(pts.astype(np.float64), axis=0), np.sort(quant, axis=0), atol=1e-4
+    )
+
+
+def test_multi_preproc_fanout(tmp_path, rng):
+    data_dir = tmp_path / "clouds"
+    data_dir.mkdir()
+    for i in range(4):
+        lidar_ply(str(data_dir / f"s{i}.ply"), rng, n=150)
+    out_dir = str(tmp_path / "shards")
+    from scp_tpu.tools import multi_preproc
+
+    multi_preproc.main(
+        [
+            "2", "python", "-m", "scp_tpu.tools.preprocess", "--type", "ford",
+            "--ori_dir", str(data_dir / "*.ply"), "--out_dir", out_dir,
+            "--spher",
+        ]
+    )
+    shards = glob.glob(out_dir + "/*.npy")
+    assert len(shards) == 4
+    arr = np.load(shards[0])
+    assert arr.ndim == 3 and arr.shape[1:] == (4, 6)
+
+
+def test_psnr_tool(tmp_path, rng, capsys):
+    data_dir = tmp_path / "c"
+    data_dir.mkdir()
+    lidar_ply(str(data_dir / "a.ply"), rng, n=200)
+    pre_dir = str(tmp_path / "p")
+    from scp_tpu.tools import psnr_test, test_gene
+
+    test_gene.main(
+        ["--type", "ford", "--ori_dir", str(data_dir / "*.ply"),
+         "--out_dir", pre_dir, "--spher", "--lidar_level", "12"]
+    )
+    psnr_test.main(
+        ["--type", "ford", "--ori_dir", str(data_dir / "*.ply"),
+         "--quant_dir", pre_dir]
+    )
+    out = capsys.readouterr().out
+    assert "D1" in out and "mean over 1" in out

@@ -1,0 +1,124 @@
+"""Trainer: data pipeline, sharded train step, loss decrease, checkpoints."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from scp_tpu.config import Config, load_config
+from scp_tpu.core import build_octree, gen_context
+from scp_tpu.train.data import ShardDataset, build_dataset
+from scp_tpu.train.trainer import Trainer, cross_entropy_bits
+
+
+def make_shards(tmp_path, rng, n_files=2, bits=6):
+    for i in range(n_files):
+        pts = np.unique(rng.integers(0, 2**bits, (3000, 3)), axis=0)
+        ctx = gen_context(build_octree(pts))
+        np.save(tmp_path / f"shard{i}_{ctx.shape[0]}.npy", ctx)
+    return str(tmp_path / "*.npy")
+
+
+def tiny_cfg(root, mode="ehem"):
+    cfg = load_config(
+        "train_kitti_ehem.yaml" if mode == "ehem" else "train_kitti.yaml",
+        config_dir="configs",
+    )
+    cfg.data.root = root
+    cfg.data.batch_size = 2
+    cfg.data.context_size = 64
+    cfg.bf16 = False
+    cfg.train.lr = 1e-3
+    if mode == "ehem":
+        cfg.model.context_size = 64
+        cfg.model.swin = Config.wrap(
+            dict(embed_dim=64, self_depths=[2, 2], cross_depths=[1],
+                 num_heads=2, window_size=16, mlp_ratio=2.0)
+        )
+    else:
+        cfg.model.context_size = 64
+    return cfg
+
+
+def test_shard_dataset_shapes(tmp_path, rng):
+    root = make_shards(tmp_path, rng)
+    ds = ShardDataset(root, context_size=64, batch_size=2, mode="ehem")
+    batch = next(ds.batches())
+    assert batch["data"].shape == (2, 64, 4, 3)
+    assert batch["pos"].shape == (2, 64, 3)
+    assert batch["label"].shape == (2, 64)
+    # labels equal the occupancy channel of the current node
+    np.testing.assert_array_equal(batch["label"], batch["data"][:, :, -1, 2])
+    assert batch["data"][:, :, :, 2].max() <= 255
+    assert batch["pos"].min() >= 0 and batch["pos"].max() <= 1
+
+
+def test_octattn_dataset_shapes(tmp_path, rng):
+    root = make_shards(tmp_path, rng)
+    ds = ShardDataset(root, context_size=32, batch_size=2, mode="octattn")
+    batch = next(ds.batches())
+    assert batch["data"].shape == (2, 32, 4, 3)
+    assert batch["pos"].shape == (2, 32, 4, 3)
+    np.testing.assert_array_equal(batch["label"], batch["data"][:, :, -1, 0])
+
+
+def test_cross_entropy_bits():
+    logits = np.zeros((2, 4, 255), np.float32)
+    labels = np.zeros((2, 4), np.int32)
+    bits = float(cross_entropy_bits(logits, labels))
+    assert bits == pytest.approx(np.log2(255.0), rel=1e-5)
+
+
+def test_training_reduces_loss(tmp_path, rng):
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    ds = build_dataset(cfg)
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    gen = ds.batches()
+    first = next(gen)
+    state = trainer.init_state(first)
+    state, loss0 = trainer.train_step(state, first)
+    losses = [float(loss0)]
+    for _ in range(25):
+        state, loss = trainer.train_step(state, next(gen))
+        losses.append(float(loss))
+    assert losses[0] > 7.5  # ~log2(255) at init
+    assert min(losses[-5:]) < losses[0] - 0.5, losses
+
+
+def test_fit_writes_checkpoint_and_metrics(tmp_path, rng):
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    cfg.train.epoch = 1
+    ds = build_dataset(cfg)
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    run_dir = str(tmp_path / "run")
+    trainer.fit(ds, run_dir, epochs=1)
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    from scp_tpu.train import checkpoints
+
+    ck = checkpoints.latest_checkpoint(run_dir)
+    assert ck is not None
+    variables = checkpoints.load_variables(ck)
+    assert "params" in variables
+
+
+def test_lr_schedule_steps_per_epoch():
+    from scp_tpu.train.trainer import make_lr_schedule
+
+    cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
+    sched = make_lr_schedule(cfg, steps_per_epoch=100)
+    assert sched(0) == pytest.approx(1e-4)
+    assert sched(299) == pytest.approx(1e-4)  # epochs 0-2
+    assert sched(300) == pytest.approx(1e-4 * 0.3)  # epoch 3
+    assert sched(600) == pytest.approx(1e-4 * 0.09)
+
+
+def test_multidevice_dryrun():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) >= 8
+    g.dryrun_multichip(8)
