@@ -27,7 +27,11 @@ def quantize_cdf(cdf_float: np.ndarray) -> np.ndarray:
     can wrap, and neither encoder nor decoder ever reads it.
     """
     lp = cdf_float.shape[-1]
-    scaled = cdf_float * (2**PRECISION - (lp - 1))
+    # Scale in float64 regardless of input precision: matches the reference
+    # front end, whose hstack with a float64 zero column upcasts the float32
+    # CDF before scaling (numpyAc.py:109-114, :96-107) — this makes our
+    # bitstreams byte-identical to the reference coder's.
+    scaled = cdf_float.astype(np.float64) * (2**PRECISION - (lp - 1))
     q = np.round(scaled).astype(np.int64) + np.arange(lp, dtype=np.int64)
     return (q & 0xFFFF).astype(np.uint16)
 
@@ -101,13 +105,16 @@ class StreamingEncoder:
         syms = np.asarray(syms, dtype=np.int16)
         if syms.size == 0:
             return
+        pdf = np.asarray(pdf)
         check_pdf(pdf, syms)
-        cdf = pdf_to_quantized_cdf(np.asarray(pdf))
         self.n_sym += syms.shape[0]
-        if self._enc is not None:
-            self._enc.append(cdf, syms)
+        if self._enc is not None and pdf.dtype == np.float32:
+            # fused native path (bit-identical to the numpy quantizer)
+            self._enc.append_pdf(pdf, syms)
+        elif self._enc is not None:
+            self._enc.append(pdf_to_quantized_cdf(pdf), syms)
         else:
-            self._rows.append(cdf)
+            self._rows.append(pdf_to_quantized_cdf(pdf))
             self._syms.append(syms)
 
     def finish(self, binfile: str | None = None) -> tuple[bytes, int]:
@@ -147,7 +154,10 @@ class ArithmeticDecoder:
 
         The pdf dtype is preserved: encoder and decoder must quantize CDFs
         through the identical float path or the range coder desyncs."""
-        cdf = pdf_to_quantized_cdf(np.asarray(pdf))
+        pdf = np.asarray(pdf)
+        if pdf.dtype == np.float32 and hasattr(self._dec, "decode_batch_pdf"):
+            return self._dec.decode_batch_pdf(pdf).astype(np.int64)
+        cdf = pdf_to_quantized_cdf(pdf)
         return self._dec.decode_batch(cdf).astype(np.int64)
 
     def decode_one(self, pdf_row: np.ndarray) -> int:

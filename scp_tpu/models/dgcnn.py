@@ -98,15 +98,17 @@ class GeoFeatGenerator(nn.Module):
 
     k: int = 20
     max_level: int = 19
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.occ_enc = nn.Embed(256, 16, dtype=self.dtype, name="occ_enc")
         self.level_enc = nn.Embed(self.max_level, 4, dtype=self.dtype)
         self.octant_enc = nn.Embed(9, 4, dtype=self.dtype)
-        self.conv1 = EdgeConv(64, dtype=self.dtype)
-        self.conv2 = EdgeConv(128, dtype=self.dtype)
-        self.conv3 = EdgeConv(256, dtype=self.dtype)
+        conv_cls = nn.remat(EdgeConv, static_argnums=(2,)) if self.remat else EdgeConv
+        self.conv1 = conv_cls(64, dtype=self.dtype)
+        self.conv2 = conv_cls(128, dtype=self.dtype)
+        self.conv3 = conv_cls(256, dtype=self.dtype)
         self.mlp2 = MLP([80, 64, 64], dtype=self.dtype)
         self.mlp3 = MLP([128, 128, 128], dtype=self.dtype)
         self.edge_mlp1 = MLP([256, 256, 256], dtype=self.dtype)

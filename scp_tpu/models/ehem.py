@@ -39,16 +39,21 @@ class EHEM(nn.Module):
     num_heads: int = 4
     window_size: int = 512
     mlp_ratio: float = 4.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.geo = GeoFeatGenerator(k=self.knn_k, max_level=self.max_level, dtype=self.dtype)
+        self.geo = GeoFeatGenerator(
+            k=self.knn_k, max_level=self.max_level, remat=self.remat,
+            dtype=self.dtype,
+        )
         self_cfg = SwinConfig(
             embed_dim=self.embed_dim,
             depths=tuple(self.self_depths),
             num_heads=self.num_heads,
             window_size=self.window_size,
             mlp_ratio=self.mlp_ratio,
+            remat=self.remat,
         )
         cross_cfg = SwinConfig(
             embed_dim=self.embed_dim,
@@ -56,6 +61,7 @@ class EHEM(nn.Module):
             num_heads=self.num_heads,
             window_size=self.window_size,
             mlp_ratio=self.mlp_ratio,
+            remat=self.remat,
         )
         self.swin_self = SwinEncoder1D(self_cfg, cross=False, dtype=self.dtype)
         self.swin_cross = SwinEncoder1D(cross_cfg, cross=True, dtype=self.dtype)
@@ -159,5 +165,6 @@ class EHEM(nn.Module):
             num_heads=swin.get("num_heads", 4),
             window_size=swin.get("window_size", 512),
             mlp_ratio=swin.get("mlp_ratio", 4.0),
+            remat=bool(cfg.get("remat", cfg.train.get("remat", False))),
             dtype=dtype,
         )

@@ -39,6 +39,7 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     layer_norm_eps: float = 1e-5
+    remat: bool = False  # rematerialize blocks (training memory/HBM trade)
 
 
 def _shift_mask(padded_len: int, window: int, shift: int) -> np.ndarray:
@@ -166,8 +167,9 @@ class SwinStage1D(nn.Module):
     @nn.compact
     def __call__(self, x, query=None):
         cfg = self.cfg
+        block_cls = nn.remat(SwinBlock1D) if cfg.remat else SwinBlock1D
         for i in range(self.depth):
-            x = SwinBlock1D(
+            x = block_cls(
                 cfg,
                 shift=0 if i % 2 == 0 else cfg.window_size // 2,
                 cross=self.cross,

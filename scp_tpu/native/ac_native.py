@@ -57,6 +57,22 @@ def _lib():
         lib.ac_encoder_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.ac_encoder_free.restype = None
         lib.ac_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.ac_encoder_append_pdf.restype = None
+        lib.ac_encoder_append_pdf.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.ac_decode_batch_pdf.restype = ctypes.c_int64
+        lib.ac_decode_batch_pdf.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
         _CONFIGURED = True
     return lib
 
@@ -105,6 +121,19 @@ class NativeEncoder:
             syms.ctypes.data_as(ctypes.c_void_p),
         )
 
+    def append_pdf(self, pdf_f32: np.ndarray, syms: np.ndarray):
+        """Fused CDF quantization + encode from float32 pdf rows."""
+        pdf_f32 = np.ascontiguousarray(pdf_f32, dtype=np.float32)
+        syms = np.ascontiguousarray(syms, dtype=np.int16)
+        m, L = pdf_f32.shape
+        self._lib.ac_encoder_append_pdf(
+            self._h,
+            pdf_f32.ctypes.data_as(ctypes.c_void_p),
+            m,
+            L,
+            syms.ctypes.data_as(ctypes.c_void_p),
+        )
+
     def finish(self) -> bytes:
         n = self._lib.ac_encoder_finish(self._h, None)
         buf = ctypes.create_string_buffer(n)
@@ -140,6 +169,20 @@ class NativeDecoder:
             cdf_u16.ctypes.data_as(ctypes.c_void_p),
             m,
             lp,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:got]
+
+    def decode_batch_pdf(self, pdf_f32: np.ndarray) -> np.ndarray:
+        """Fused CDF quantization + decode from float32 pdf rows."""
+        pdf_f32 = np.ascontiguousarray(pdf_f32, dtype=np.float32)
+        m, L = pdf_f32.shape
+        out = np.empty(m, dtype=np.int16)
+        got = self._lib.ac_decode_batch_pdf(
+            self._h,
+            pdf_f32.ctypes.data_as(ctypes.c_void_p),
+            m,
+            L,
             out.ctypes.data_as(ctypes.c_void_p),
         )
         return out[:got]

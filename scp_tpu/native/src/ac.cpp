@@ -14,6 +14,7 @@
 // a single bitstream can be consumed across many batched model calls
 // (batching removes the reference's per-symbol Python round trip).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -170,6 +171,28 @@ struct Decoder {
   }
 };
 
+// Quantize one float32 pdf row (L entries) into the uint16 CDF row
+// (L+1 entries) with semantics identical to the numpy path
+// (scp_tpu/ac/__init__.py quantize_cdf): sequential float32 cumsum,
+// float32 divide by the total, scale by 2^16 - L, round half-to-even,
+// add the index ramp, wrap mod 2^16.
+inline void quantize_pdf_row(const float* pdf, int L, uint16_t* cdf) {
+  // float32 cumsum + divide, then float64 scale + round-half-even: matches
+  // numpy's quantize_cdf (and the reference coder's upcast) bit for bit.
+  const double scale = static_cast<double>((1u << 16) - L);
+  cdf[0] = 0;
+  float acc = 0.0f;
+  for (int i = 0; i < L; ++i) acc += pdf[i];
+  const float total = acc;
+  acc = 0.0f;
+  for (int i = 0; i < L; ++i) {
+    acc += pdf[i];
+    const float v = acc / total;
+    const long long q = llrint(static_cast<double>(v) * scale) + (i + 1);
+    cdf[i + 1] = static_cast<uint16_t>(q & 0xFFFF);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -186,6 +209,20 @@ void ac_encoder_append(void* enc_ptr, const uint16_t* cdf, int64_t m,
     const int s = syms[i];
     const uint32_t c_low = row[s];
     const uint32_t c_high = (s == Lp - 2) ? kProbScale : row[s + 1];
+    enc->encode(c_low, c_high);
+  }
+}
+
+// Append straight from float32 pdf rows (m x L): quantization fused in.
+void ac_encoder_append_pdf(void* enc_ptr, const float* pdf, int64_t m,
+                           int32_t L, const int16_t* syms) {
+  Encoder* enc = static_cast<Encoder*>(enc_ptr);
+  std::vector<uint16_t> cdf(L + 1);
+  for (int64_t i = 0; i < m; ++i) {
+    quantize_pdf_row(pdf + i * L, L, cdf.data());
+    const int s = syms[i];
+    const uint32_t c_low = cdf[s];
+    const uint32_t c_high = (s == L - 1) ? kProbScale : cdf[s + 1];
     enc->encode(c_low, c_high);
   }
 }
@@ -242,6 +279,20 @@ int64_t ac_decode_batch(void* dec_ptr, const uint16_t* cdfs, int64_t m,
   for (; i < m; ++i) {
     if (dec->decoded >= dec->n_sym) break;
     out[i] = static_cast<int16_t>(dec->decode_one(cdfs + i * Lp, Lp));
+  }
+  return i;
+}
+
+// Decode straight from float32 pdf rows (m x L): quantization fused in.
+int64_t ac_decode_batch_pdf(void* dec_ptr, const float* pdf, int64_t m,
+                            int32_t L, int16_t* out) {
+  Decoder* dec = static_cast<Decoder*>(dec_ptr);
+  std::vector<uint16_t> cdf(L + 1);
+  int64_t i = 0;
+  for (; i < m; ++i) {
+    if (dec->decoded >= dec->n_sym) break;
+    quantize_pdf_row(pdf + i * L, L, cdf.data());
+    out[i] = static_cast<int16_t>(dec->decode_one(cdf.data(), L + 1));
   }
   return i;
 }

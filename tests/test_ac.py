@@ -91,6 +91,29 @@ def test_skewed_and_deterministic_pdfs(rng):
     np.testing.assert_array_equal(out, syms)
 
 
+def test_native_pdf_quantizer_matches_numpy(rng):
+    """The fused C++ quantize_pdf_row must be bit-identical to the numpy
+    quantizer for float32 pdfs (cross-path streams stay compatible)."""
+    if not ac_native.available():
+        pytest.skip("no native")
+    pdfs64 = random_pdfs(rng, 300, 255)
+    syms = sample_syms(rng, pdfs64)
+    pdfs = pdfs64.astype(np.float32)
+    # encode via fused pdf path, decode via numpy-quantized path
+    enc = ac.StreamingEncoder()
+    enc.append(pdfs, syms)
+    stream, _ = enc.finish()
+    dec = ac_native.NativeDecoder(stream, len(syms))
+    out = dec.decode_batch(ac.pdf_to_quantized_cdf(pdfs))
+    np.testing.assert_array_equal(out, syms)
+    # and the reverse: numpy-quantized encode, fused pdf decode
+    stream2 = ac_native.encode_cdf(ac.pdf_to_quantized_cdf(pdfs), syms)
+    dec2 = ac_native.NativeDecoder(stream2, len(syms))
+    out2 = dec2.decode_batch_pdf(pdfs)
+    np.testing.assert_array_equal(out2, syms)
+    assert stream == stream2
+
+
 def test_check_pdf_rejects_bad_input():
     with pytest.raises(ValueError):
         ac.check_pdf(np.array([[-0.1, 1.1]]), np.array([0]))
