@@ -27,6 +27,9 @@ def save(run_dir: str, state, constants, epoch: int, step: int, final: bool = Fa
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats) or {},
         "constants": jax.device_get(constants) or {},
+        # full optimizer state -> true mid-training resume (the reference
+        # left this unwired, train.py:26)
+        "opt_state": jax.device_get(state.opt_state) or {},
         "meta": {"epoch": epoch, "step": step},
     }
     with ocp.StandardCheckpointer() as saver:
@@ -66,6 +69,36 @@ def load_variables(path: str) -> dict:
     if payload.get("constants"):
         variables.update(payload["constants"])
     return variables
+
+
+def restore_state(path: str, template_state):
+    """Restore a full TrainState (params + batch_stats + opt_state + step)
+    into the structure of `template_state`."""
+    import dataclasses
+
+    payload = load(path)
+    meta = payload.get("meta", {})
+    step = int(meta.get("step", 0))
+    new = dataclasses.replace(
+        template_state,
+        params=payload["params"],
+        batch_stats=payload.get("batch_stats") or template_state.batch_stats,
+        opt_state=_restore_like(template_state.opt_state, payload.get("opt_state")),
+        step=np.asarray(step, np.int32),
+    )
+    return new, meta
+
+
+def _restore_like(template: Any, saved: Any) -> Any:
+    """Rebuild `template`'s pytree structure (e.g. optax NamedTuples) from a
+    checkpoint's plain-dict rendering of it."""
+    if saved is None or saved == {}:
+        return template
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    s_leaves = jax.tree_util.tree_leaves(saved)
+    if len(t_leaves) != len(s_leaves):
+        return template  # structure changed; keep fresh optimizer state
+    return jax.tree_util.tree_unflatten(treedef, s_leaves)
 
 
 def filter_compatible(pretrained: Any, reference: Any) -> Any:

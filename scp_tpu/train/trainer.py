@@ -156,7 +156,7 @@ class Trainer:
 
     # -- loop -------------------------------------------------------------
 
-    def fit(self, dataset, run_dir: str, epochs: int | None = None):
+    def fit(self, dataset, run_dir: str, epochs: int | None = None, resume: bool = False):
         from scp_tpu.train import checkpoints as ckpt
 
         cfg = self.cfg
@@ -168,12 +168,28 @@ class Trainer:
         gen = dataset.batches()
         first = next(gen)
         state = self.init_state(first)
+        start_epoch = 0
+        resume_from = cfg.train.get("load_ckpt") or (
+            ckpt.latest_checkpoint(run_dir) if resume else None
+        )
+        if resume_from:
+            state, meta = ckpt.restore_state(resume_from, state)
+            state = jax.device_put(state, self.repl)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
+        elif cfg.train.get("load_pretrain"):
+            pre = ckpt.load(cfg.train.load_pretrain)
+            state = dataclasses.replace(
+                state,
+                params=ckpt.filter_compatible(pre["params"], state.params),
+            )
+            print(f"warm-started params from {cfg.train.load_pretrain}")
 
         log_every = int(cfg.train.get("log_every", 50))
-        step = 0
+        step = int(state.step)
         t0 = time.time()
         with open(metrics_path, "a") as mf:
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, epochs):
                 for _ in range(self.steps_per_epoch):
                     batch = first if step == 0 else next(gen)
                     state, loss = self.train_step(state, batch)

@@ -106,6 +106,42 @@ def test_fit_writes_checkpoint_and_metrics(tmp_path, rng):
     assert "params" in variables
 
 
+def test_resume_continues_from_checkpoint(tmp_path, rng):
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    ds = build_dataset(cfg)
+    run_dir = str(tmp_path / "run")
+
+    t1 = Trainer(cfg, steps_per_epoch=3)
+    t1.fit(ds, run_dir, epochs=1)
+
+    # second trainer resumes: starts at epoch 1, step continues from 3
+    t2 = Trainer(cfg, steps_per_epoch=3)
+    state = t2.fit(build_dataset(cfg), run_dir, epochs=2, resume=True)
+    assert int(state.step) == 6
+    from scp_tpu.train import checkpoints
+
+    ck = checkpoints.latest_checkpoint(run_dir)
+    assert "step=6" in ck
+
+
+def test_warm_start_partial(tmp_path, rng):
+    from scp_tpu.train import checkpoints
+
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    ds = build_dataset(cfg)
+    run_dir = str(tmp_path / "runA")
+    t1 = Trainer(cfg, steps_per_epoch=2)
+    t1.fit(ds, run_dir, epochs=1)
+    ck = checkpoints.latest_checkpoint(run_dir)
+
+    cfg2 = tiny_cfg(root)
+    cfg2.train.load_pretrain = ck
+    t2 = Trainer(cfg2, steps_per_epoch=1)
+    t2.fit(build_dataset(cfg2), str(tmp_path / "runB"), epochs=1)
+
+
 def test_lr_schedule_steps_per_epoch():
     from scp_tpu.train.trainer import make_lr_schedule
 
