@@ -67,19 +67,10 @@ def main():
     )
     codec = EHEMCodec(model, variables, context_size=8192)
 
-    # Warm-up: compile every bucket used by this cloud (excluded from timing).
-    from scp_tpu.codec.slices import bucket_for
-
-    buckets = set()
-    for li in range(slices.num_levels):
-        n_l = slices.data[li].shape[0]
-        for start in range(0, n_l, 8192):
-            buckets.add(bucket_for(min(8192, n_l - start), 8192))
-    for b in sorted(buckets):
-        d = np.zeros((b, 4, 3), np.int32)
-        p = np.zeros((b, 3), np.float32)
-        p1, f1, f2, _ = codec._chunk_probs_phase1(d, p, b)
-        codec._chunk_probs_phase2(f1, f2, np.zeros(b // 2, np.int32), b, b)
+    # Warm-up: compile every program this cloud uses (excluded from timing).
+    t0 = time.time()
+    n_progs = codec.warmup(slices)
+    print(f"# warmup: {n_progs} programs in {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     stream, bits, model_s = codec.encode_to_stream(slices)

@@ -35,6 +35,12 @@ from scp_tpu.train import checkpoints
 
 MULLEVEL_PATHS = ([0, 0], [0, 1], [1])  # near/mid/far (reference test_gene.py:24-65)
 
+# MVUB upper-body sequences need the axis rotation (reference
+# data_preprocess.py:242-243)
+MVUB_NAMES = (
+    "andrew10", "david10", "phil10", "phil9", "ricardo10", "ricardo9", "sarah10",
+)
+
 
 def shard_name(ori_file: str, data_type: str) -> str:
     p = Path(ori_file)
@@ -63,6 +69,18 @@ class CodecSession:
     # -- preprocessing -----------------------------------------------------
 
     def _preproc_one(self, ori_file, data_type, lidar_level, system, morton_path=None):
+        if data_type == "obj":
+            # dense object clouds (MPEG/MVUB): unit grid, min offset, MVUB
+            # sequences rotated to a common orientation (reference
+            # encode_dataset.py:69-77, data_preprocess.py:37-39)
+            rotate = any(n in ori_file for n in MVUB_NAMES)
+            return preprocess_points(
+                read_points(ori_file),
+                system="cart",
+                qs=1.0,
+                offset="min",
+                rotation=rotate,
+            )
         qs = level_qs(data_type, lidar_level)
         return preprocess_points(
             read_points(ori_file),

@@ -135,6 +135,29 @@ class EHEMCodec:
                     rows[s] = softmax_np(host[bi, : m // 2])
         return [rows[k] for k in sorted(rows)]
 
+    def warmup(self, slices: LevelSlices) -> int:
+        """Compile every (batch, bucket) program this cloud will use.
+        Returns the number of distinct programs touched."""
+        csz = self.context_size
+        shapes = set()
+        for li in range(slices.num_levels):
+            n = slices.data[li].shape[0]
+            n_full = n // csz
+            if n_full:
+                shapes.add((self.group_size if n_full > self.group_size else n_full, csz))
+                if n_full > self.group_size:
+                    shapes.add((self.group_size, csz))
+            if n % csz:
+                shapes.add((1, bucket_for(n % csz, csz)))
+        for bsz, bucket in sorted(shapes):
+            d = np.zeros((bsz, bucket, 4, 3), np.int32)
+            d[:, :, :, 2] = 255
+            p = np.zeros((bsz, bucket, 3), np.float32)
+            _l1, f1, f2 = self._phase1_fn(self.variables, d, p)
+            occ = np.full((bsz, bucket // 2), 255, np.int32)
+            self._phase2_fn(self.variables, f1, f2, occ).block_until_ready()
+        return len(shapes)
+
     # ---- encode -----------------------------------------------------------
 
     def encode_chunks(self, slices: LevelSlices, timers: list | None = None):

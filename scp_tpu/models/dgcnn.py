@@ -1,10 +1,7 @@
 """DGCNN geometry feature extractor for EHEM (reference models/dgcnn.py).
 
 TPU-first notes:
-  * KNN is a dense distance computation tiled over query chunks via
-    lax.map, so peak memory is (B, CHUNK, N) instead of (B, N, N) — the
-    role of the reference's 4096-column chunking (dgcnn.py:29-45) without
-    host-side Python loops.
+  * KNN lives in scp_tpu.ops.knn: tiled distance + top-k (XLA or Pallas).
   * Edge features are channel-last so every 1x1 "conv" is a Dense on the
     lane dimension (MXU-shaped matmul).
   * Graphs are dynamic per EdgeConv round (recomputed from the current
@@ -18,56 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from scp_tpu.models.layers import MLP
-
-_KNN_CHUNK = 1024
-
-
-def knn_indices(feats: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k nearest neighbors (squared L2, self included).
-
-    feats: (B, N, C) -> (B, N, k) int32 indices.
-    """
-    b, n, c = feats.shape
-    sq = jnp.sum(feats * feats, axis=-1)  # (B, N)
-
-    if n <= _KNN_CHUNK:
-        scores = 2.0 * jnp.einsum(
-            "bnc,bmc->bnm", feats, feats, preferred_element_type=jnp.float32
-        )
-        scores = scores - sq[:, :, None] - sq[:, None, :]
-        return jax.lax.top_k(scores, k)[1]
-
-    n_chunks = -(-n // _KNN_CHUNK)
-    pad = n_chunks * _KNN_CHUNK - n
-    q = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
-    q_sq = jnp.pad(sq, ((0, 0), (0, pad)))
-    q = q.reshape(b, n_chunks, _KNN_CHUNK, c)
-    q_sq = q_sq.reshape(b, n_chunks, _KNN_CHUNK)
-
-    def one_chunk(args):
-        qc, qsqc = args  # (B, CHUNK, C), (B, CHUNK)
-        s = 2.0 * jnp.einsum(
-            "bqc,bmc->bqm", qc, feats, preferred_element_type=jnp.float32
-        )
-        s = s - qsqc[:, :, None] - sq[:, None, :]
-        return jax.lax.top_k(s, k)[1]
-
-    idx = jax.lax.map(one_chunk, (q.transpose(1, 0, 2, 3), q_sq.transpose(1, 0, 2)))
-    idx = idx.transpose(1, 0, 2, 3).reshape(b, n_chunks * _KNN_CHUNK, k)
-    return idx[:, :n]
-
-
-def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """feats (B, N, C), idx (B, N, k) -> (B, N, k, C)."""
-    return jax.vmap(lambda f, i: f[i])(feats, idx)
-
-
-def edge_features(feats: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(neighbor - center, center) edge tensor: (B, N, k, 2C)."""
-    idx = knn_indices(feats, k)
-    nb = gather_neighbors(feats, idx)
-    center = jnp.broadcast_to(feats[:, :, None, :], nb.shape)
-    return jnp.concatenate([nb - center, center], axis=-1)
+from scp_tpu.ops.knn import edge_features, gather_neighbors, knn_indices  # noqa: F401
 
 
 class EdgeConv(nn.Module):

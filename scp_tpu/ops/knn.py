@@ -1,0 +1,80 @@
+"""K-nearest-neighbor ops for dynamic EdgeConv graphs.
+
+The hot op of the EHEM trunk: pairwise squared-L2 + top-k over feature
+tensors, recomputed per EdgeConv round (reference dgcnn.py:10-45 bounds the
+O(N^2) matrix with 4096-column host-side chunking; here query tiles ride a
+lax.map so peak memory is (B, TILE, N) while the distance product stays one
+MXU-shaped matmul per tile).
+
+`knn_indices` dispatches to a Pallas fused distance+top-k kernel on TPU for
+large N when enabled (SCP_PALLAS_KNN=1), else the XLA path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_KNN_CHUNK = 1024
+
+
+def knn_indices(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k nearest neighbors (squared L2, self included).
+
+    feats: (B, N, C) -> (B, N, k) int32 indices.
+    """
+    if (
+        os.environ.get("SCP_PALLAS_KNN")
+        and feats.shape[1] >= 2048
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from scp_tpu.ops.pallas_knn import knn_pallas
+
+        return knn_pallas(feats, k)
+    return _knn_xla(feats, k)
+
+
+def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    b, n, c = feats.shape
+    sq = jnp.sum(feats * feats, axis=-1)  # (B, N)
+
+    if n <= _KNN_CHUNK:
+        scores = 2.0 * jnp.einsum(
+            "bnc,bmc->bnm", feats, feats, preferred_element_type=jnp.float32
+        )
+        scores = scores - sq[:, :, None] - sq[:, None, :]
+        return jax.lax.top_k(scores, k)[1]
+
+    n_chunks = -(-n // _KNN_CHUNK)
+    pad = n_chunks * _KNN_CHUNK - n
+    q = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    q_sq = jnp.pad(sq, ((0, 0), (0, pad)))
+    q = q.reshape(b, n_chunks, _KNN_CHUNK, c)
+    q_sq = q_sq.reshape(b, n_chunks, _KNN_CHUNK)
+
+    def one_chunk(args):
+        qc, qsqc = args  # (B, CHUNK, C), (B, CHUNK)
+        s = 2.0 * jnp.einsum(
+            "bqc,bmc->bqm", qc, feats, preferred_element_type=jnp.float32
+        )
+        s = s - qsqc[:, :, None] - sq[:, None, :]
+        return jax.lax.top_k(s, k)[1]
+
+    idx = jax.lax.map(one_chunk, (q.transpose(1, 0, 2, 3), q_sq.transpose(1, 0, 2)))
+    idx = idx.transpose(1, 0, 2, 3).reshape(b, n_chunks * _KNN_CHUNK, k)
+    return idx[:, :n]
+
+
+def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feats (B, N, C), idx (B, N, k) -> (B, N, k, C)."""
+    return jax.vmap(lambda f, i: f[i])(feats, idx)
+
+
+def edge_features(feats: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(neighbor - center, center) edge tensor: (B, N, k, 2C)."""
+    idx = knn_indices(feats, k)
+    nb = gather_neighbors(feats, idx)
+    center = jnp.broadcast_to(feats[:, :, None, :], nb.shape)
+    return jnp.concatenate([nb - center, center], axis=-1)
