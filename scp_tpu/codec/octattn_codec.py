@@ -37,6 +37,17 @@ class OctAttentionCodec:
         self.variables = variables
         self.csz = model.context_size
         self._fwd_fn = jax.jit(lambda v, d, p: model.apply(v, d, p))
+        self._step_fn = jax.jit(
+            lambda v, d, p, cache, t: model.apply(
+                v, d, p, cache, t, method=OctAttention.decode_step
+            )
+        )
+        self._insert_fn = jax.jit(
+            lambda v, d, p, cache, t, qs: model.apply(
+                v, d, p, cache, t, qs, method=OctAttention.decode_insert
+            ),
+            donate_argnums=(3,),
+        )
 
     def _fwd(self, d, p):
         return self._fwd_fn(self.variables, d, p)
@@ -120,6 +131,115 @@ class OctAttentionCodec:
         pdf, syms, elapsed = self.encode(ctx, sequential=sequential)
         stream, bits = ac.ArithmeticEncoder().encode(pdf, syms)
         return stream, bits, elapsed
+
+    # -- incremental (KV-cache) mode ----------------------------------------
+    #
+    # A third window schedule absent in the reference: chunks of csz
+    # consecutive nodes per level with NO pad prefix; each node costs one
+    # cached-attention step (O(window) per layer) + one cache insert,
+    # instead of a full O(window^2) forward.  Encoder and decoder share the
+    # same engine, so the streams are self-consistent by construction.
+
+    def _incremental_level(self, data, pos, occ_or_decoder, decode: bool,
+                           elapsed_box=None):
+        """Run one level; occ_or_decoder is the true occupancies (encode)
+        or an ArithmeticDecoder (decode).  Returns (pdf_rows, symbols)."""
+        n = data.shape[0]
+        pdf_rows = np.empty((n, self.model.token_num), np.float32)
+        syms = np.empty(n, np.int32)
+        for start in range(0, n, self.csz):
+            m = min(self.csz, n - start)
+            cache = self.model.apply(
+                self.variables, method=OctAttention.init_cache
+            )
+            for j in range(m):
+                i = start + j
+                d_t = data[i].astype(np.int32)
+                p_t = pos[i].astype(np.float32)
+                t0 = time.time()
+                logits, qs = self._step_fn(
+                    self.variables, d_t, p_t, cache, j
+                )
+                pdf = softmax_np(np.asarray(logits))
+                if elapsed_box is not None:
+                    elapsed_box[0] += time.time() - t0
+                pdf_rows[i] = pdf
+                if decode:
+                    sym = int(occ_or_decoder.decode_batch(pdf[None])[0])
+                else:
+                    sym = int(occ_or_decoder[i])
+                syms[i] = sym
+                d_known = d_t.copy()
+                d_known[-1, 0] = sym
+                t0 = time.time()
+                cache = self._insert_fn(
+                    self.variables, d_known, p_t, cache, j, qs
+                )
+                if elapsed_box is not None:
+                    elapsed_box[0] += time.time() - t0
+        return pdf_rows, syms
+
+    def encode_incremental(self, ctx: np.ndarray):
+        levels, occ_stream, _ = self.split_levels(ctx)
+        pdfs = []
+        elapsed = [0.0]
+        off = 0
+        for data, pos in levels:
+            n = data.shape[0]
+            pdf_rows, _ = self._incremental_level(
+                data, pos, occ_stream[off : off + n], decode=False,
+                elapsed_box=elapsed,
+            )
+            pdfs.append(pdf_rows)
+            off += n
+        return np.concatenate(pdfs), occ_stream, elapsed[0]
+
+    def decode_incremental(
+        self,
+        dec: ac.ArithmeticDecoder,
+        max_level: int,
+        ground_truth: np.ndarray | None = None,
+    ) -> np.ndarray:
+        k = self.model.ancestors
+        inv_scale = 1.0 / float(2**max_level)
+        anc_d = np.zeros((1, k - 1, 3), np.int32)
+        anc_d[:, :, 0] = _PAD_OCC
+        anc_p = np.zeros((1, k - 1, 3), np.int64)
+        self_d = np.array([[[_PAD_OCC, 1, 1]]], np.int32)
+        self_p = np.zeros((1, 1, 3), np.int64)
+
+        codes = []
+        decoded = 0
+        for level in range(1, max_level + 1):
+            data = np.concatenate([anc_d, self_d], axis=1)
+            pos_int = np.concatenate([anc_p, self_p], axis=1)
+            pos = pos_int.astype(np.float32) * inv_scale
+            _, level_occ = self._incremental_level(data, pos, dec, decode=True)
+            if ground_truth is not None:
+                want = ground_truth[decoded : decoded + len(level_occ)]
+                assert (want == level_occ.astype(np.int16)).all(), (
+                    f"incremental decode mismatch at level {level}"
+                )
+            decoded += len(level_occ)
+            codes.append(level_occ.astype(np.int16))
+            if level == max_level:
+                break
+            filled = np.concatenate([anc_d, self_d], axis=1)
+            filled[:, -1, 0] = level_occ
+            pidx, octant = occupancy_to_child_octants(level_occ + 1)
+            anc_d = filled[pidx][:, 1:, :]
+            anc_p = pos_int[pidx][:, 1:, :]
+            n_child = pidx.shape[0]
+            self_d = np.zeros((n_child, 1, 3), np.int32)
+            self_d[:, 0, 0] = _PAD_OCC
+            self_d[:, 0, 1] = level + 1
+            self_d[:, 0, 2] = octant + 1
+            unit = np.int64(1) << np.int64(max_level - (level + 1) + 1)
+            bits = np.stack(
+                [(octant >> 2) & 1, (octant >> 1) & 1, octant & 1], axis=1
+            ).astype(np.int64)
+            self_p = (pos_int[pidx][:, -1, :] + bits * unit)[:, None, :]
+        return np.concatenate(codes)
 
     # -- decode -------------------------------------------------------------
 

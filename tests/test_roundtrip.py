@@ -98,6 +98,62 @@ def test_ehem_roundtrip_spherical(rng, ehem_codec):
     )
 
 
+def test_octattention_incremental_consistency(rng):
+    """decode_step logits must match the full forward at every position."""
+    import jax.numpy as jnp
+
+    from scp_tpu.models.octattention import OctAttention as OA
+
+    model = OA(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=16,
+    )
+    b, n, k = 1, 12, 4
+    data = np.stack(
+        [rng.integers(0, 255, (b, n, k)), rng.integers(0, 13, (b, n, k)),
+         rng.integers(0, 9, (b, n, k))], axis=-1,
+    ).astype(np.int32)
+    pos = rng.random((b, n, k, 3), dtype=np.float32)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    full = np.asarray(model.apply(variables, data, pos))
+
+    cache = model.apply(variables, method=OA.init_cache)
+    for t in range(n):
+        logits, qs = model.apply(
+            variables, data[0, t], pos[0, t], cache, t, method=OA.decode_step
+        )
+        np.testing.assert_allclose(np.asarray(logits), full[0, t], atol=2e-4)
+        cache = model.apply(
+            variables, data[0, t], pos[0, t], cache, t, qs,
+            method=OA.decode_insert,
+        )
+
+
+def test_octattention_incremental_roundtrip(rng):
+    from scp_tpu.codec.octattn_codec import OctAttentionCodec as Codec
+
+    model = OctAttention(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=32,
+    )
+    pts = small_cloud(rng, n=60, bits=4)
+    tree = build_octree(pts)
+    ctx = gen_context(tree)
+    d = np.zeros((1, 32, 4, 3), np.int32)
+    p = np.zeros((1, 32, 4, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(1), d, p)
+    codec = Codec(model, variables)
+
+    pdf, syms, _ = codec.encode_incremental(ctx)
+    stream, bits = ac.ArithmeticEncoder().encode(pdf, syms)
+    _, occ_stream, max_level = codec.split_levels(ctx)
+    dec = ac.ArithmeticDecoder(stream, occ_stream.shape[0])
+    codes = codec.decode_incremental(dec, max_level, ground_truth=occ_stream)
+    np.testing.assert_array_equal(codes, occ_stream)
+
+
 def test_octattention_roundtrip(rng):
     model = OctAttention(
         occ_embed_dim=16,
