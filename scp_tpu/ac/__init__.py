@@ -117,6 +117,19 @@ class StreamingEncoder:
             self._rows.append(pdf_to_quantized_cdf(pdf))
             self._syms.append(syms)
 
+    def append_quantized(self, cdf_u16: np.ndarray, syms: np.ndarray):
+        """Feed already-quantized uint16 CDF rows (e.g. produced on device)."""
+        syms = np.asarray(syms, dtype=np.int16)
+        if syms.size == 0:
+            return
+        cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+        self.n_sym += syms.shape[0]
+        if self._enc is not None:
+            self._enc.append(cdf_u16, syms)
+        else:
+            self._rows.append(cdf_u16)
+            self._syms.append(syms)
+
     def finish(self, binfile: str | None = None) -> tuple[bytes, int]:
         if self._enc is not None:
             stream = self._enc.finish()
@@ -159,6 +172,12 @@ class ArithmeticDecoder:
             return self._dec.decode_batch_pdf(pdf).astype(np.int64)
         cdf = pdf_to_quantized_cdf(pdf)
         return self._dec.decode_batch(cdf).astype(np.int64)
+
+    def decode_batch_quantized(self, cdf_u16: np.ndarray) -> np.ndarray:
+        """Decode against already-quantized uint16 CDF rows."""
+        return self._dec.decode_batch(
+            np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+        ).astype(np.int64)
 
     def decode_one(self, pdf_row: np.ndarray) -> int:
         return int(self.decode_batch(pdf_row.reshape(1, -1))[0])

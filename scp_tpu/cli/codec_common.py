@@ -176,8 +176,8 @@ class CodecSession:
         for ctx, _grid in results:
             if self.is_ehem:
                 slices = split_levels(ctx, angular=angular)
-                for p, s in self.codec.encode_chunks(slices, timers):
-                    enc.append(p, s)
+                for cdf, s in self.codec.encode_chunks(slices, timers):
+                    enc.append_quantized(cdf, s)
                 mms.append(np.array(slices.pos_mm, np.int64))
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])

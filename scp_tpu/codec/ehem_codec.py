@@ -48,6 +48,36 @@ from scp_tpu.core.octree import occupancy_to_child_octants
 from scp_tpu.models.ehem import EHEM
 
 
+def logits_to_cdf(logits):
+    """Device-side softmax + 16-bit CDF quantization.
+
+    Same arithmetic as ac.quantize_cdf (float32 softmax/cumsum, float64
+    scale, round-half-even, +index ramp, mod 2^16); the uint16 rows feed
+    the native coder directly."""
+    import jax.numpy as jnp
+
+    x = logits.astype(jnp.float32)
+    x = x - jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x)
+    pdf = e / jnp.sum(e, axis=-1, keepdims=True)
+    c = jnp.cumsum(pdf, axis=-1)
+    c = c / c[..., -1:]
+    zeros = jnp.zeros((*c.shape[:-1], 1), c.dtype)
+    cdf = jnp.concatenate([zeros, c], axis=-1)
+    lp = cdf.shape[-1]
+    # float32 scale (TPU has no f64): monotone -> the +ramp keeps the rows
+    # strictly increasing; encoder and decoder run this same program so the
+    # rows agree bit-for-bit.
+    scaled = cdf * jnp.float32(65536 - (lp - 1))
+    q = jnp.round(scaled).astype(jnp.int32) + jnp.arange(lp, dtype=jnp.int32)
+    return (q & 0xFFFF).astype(jnp.uint16)
+
+
+def _with_cdf(outs):
+    logits1, f1, f2 = outs
+    return logits_to_cdf(logits1), f1, f2
+
+
 class EHEMCodec:
     def __init__(
         self,
@@ -62,12 +92,18 @@ class EHEMCodec:
         self.group_size = group_size
         # Variables are runtime arguments (not closure constants) so params
         # stay device buffers instead of HLO constants.
+        #
+        # CDF quantization happens ON DEVICE: the phase functions return
+        # ready uint16 CDF rows (half the bytes of a float32 pdf over the
+        # host link, no host softmax/cumsum, and encoder/decoder share the
+        # same compiled program so the rows are bit-identical by
+        # construction).
         self._phase1_fn = jax.jit(
-            lambda v, d, p: model.apply(v, d, p, method=EHEM.decode_phase1)
+            lambda v, d, p: _with_cdf(model.apply(v, d, p, method=EHEM.decode_phase1))
         )
         self._phase2_fn = jax.jit(
-            lambda v, f1, f2, occ1: model.apply(
-                v, f1, f2, occ1, False, method=EHEM.decode_phase2
+            lambda v, f1, f2, occ1: logits_to_cdf(
+                model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
             )
         )
 
@@ -112,27 +148,27 @@ class EHEMCodec:
         return calls
 
     def _phase1_probs(self, calls):
-        """Fetch per-chunk group-1 pdf rows in chunk order."""
+        """Fetch per-chunk group-1 quantized CDF rows in chunk order."""
         rows = {}
-        for batch, logits1, _f1, _f2, _b in calls:
-            host = np.asarray(logits1)
+        for batch, cdf1, _f1, _f2, _b in calls:
+            host = np.asarray(cdf1)
             for bi, (s, m) in enumerate(batch):
-                rows[s] = softmax_np(host[bi, : (m + 1) // 2])
+                rows[s] = host[bi, : (m + 1) // 2]
         return [rows[k] for k in sorted(rows)]
 
     def _phase2_level(self, calls, evens_by_chunk):
         """Run phase 2 for every chunk given its group-1 occupancies."""
         rows = {}
-        for batch, _logits1, f1, f2, b in calls:
+        for batch, _cdf1, f1, f2, b in calls:
             occ = np.full((f1.shape[0], b // 2), 255, np.int32)  # padded batch
             for bi, (s, m) in enumerate(batch):
                 e = evens_by_chunk[s]
                 occ[bi, : e.shape[0]] = e
-            logits2 = self._phase2_fn(self.variables, f1, f2, occ)
-            host = np.asarray(logits2)
+            cdf2 = self._phase2_fn(self.variables, f1, f2, occ)
+            host = np.asarray(cdf2)
             for bi, (s, m) in enumerate(batch):
                 if m // 2:
-                    rows[s] = softmax_np(host[bi, : m // 2])
+                    rows[s] = host[bi, : m // 2]
         return [rows[k] for k in sorted(rows)]
 
     def warmup(self, slices: LevelSlices) -> int:
@@ -161,8 +197,8 @@ class EHEMCodec:
     # ---- encode -----------------------------------------------------------
 
     def encode_chunks(self, slices: LevelSlices, timers: list | None = None):
-        """Generator of (pdf_rows, sym_rows) in coding order: per level, all
-        group-1 rows (chunk order) then all group-2 rows."""
+        """Generator of (cdf_u16_rows, sym_rows) in coding order: per level,
+        all group-1 rows (chunk order) then all group-2 rows."""
         for li in range(slices.num_levels):
             d = slices.data[li]
             pos = slices.level_pos(li)
@@ -185,7 +221,7 @@ class EHEMCodec:
                 yield p2, occ[s : s + m][1::2].astype(np.int16)
 
     def encode(self, slices: LevelSlices):
-        """Materialized form: (pdf_rows list, sym_rows list, model_seconds)."""
+        """Materialized form: (cdf_u16 row blocks, sym blocks, model_seconds)."""
         timers = [0.0]
         pdfs, syms = [], []
         for p, s in self.encode_chunks(slices, timers):
@@ -194,11 +230,11 @@ class EHEMCodec:
         return pdfs, syms, timers[0]
 
     def encode_to_stream(self, slices: LevelSlices):
-        """Streaming: probabilities are range-coded as they are produced."""
+        """Streaming: CDF rows are range-coded as they are produced."""
         timers = [0.0]
         enc = ac.StreamingEncoder()
-        for p, s in self.encode_chunks(slices, timers):
-            enc.append(p, s)
+        for cdf, s in self.encode_chunks(slices, timers):
+            enc.append_quantized(cdf, s)
         stream, bits = enc.finish()
         return stream, bits, timers[0]
 
@@ -241,7 +277,9 @@ class EHEMCodec:
             chunks = self._level_chunks(dc, pos)
             calls = self._phase1_level(dc, pos)
             p1_rows = self._phase1_probs(calls)
-            evens_flat = dec.decode_batch(np.concatenate(p1_rows)).astype(np.int32)
+            evens_flat = dec.decode_batch_quantized(
+                np.concatenate(p1_rows)
+            ).astype(np.int32)
             evens_by_chunk = {}
             off = 0
             for s, m in chunks:
@@ -252,7 +290,9 @@ class EHEMCodec:
             p2_rows = self._phase2_level(calls, evens_by_chunk)
             odd_chunks = [(s, m) for s, m in chunks if m // 2]
             if p2_rows:
-                odds_flat = dec.decode_batch(np.concatenate(p2_rows)).astype(np.int32)
+                odds_flat = dec.decode_batch_quantized(
+                    np.concatenate(p2_rows)
+                ).astype(np.int32)
             else:
                 odds_flat = np.zeros(0, np.int32)
 

@@ -20,6 +20,20 @@ import jax.numpy as jnp
 _KNN_CHUNK = 1024
 
 
+def _top_k(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k largest scores along the last axis.
+
+    On TPU, lax.approx_max_k maps onto the hardware top-k unit (orders of
+    magnitude cheaper than the sort-based exact top_k, deterministic for a
+    given program+input, which is all codec consistency needs; neighbor
+    recall ~0.95 has no measurable effect on EdgeConv features).  Exact
+    everywhere else, or with SCP_EXACT_KNN=1.
+    """
+    if jax.default_backend() != "cpu" and not os.environ.get("SCP_EXACT_KNN"):
+        return jax.lax.approx_max_k(scores, k)[1]
+    return jax.lax.top_k(scores, k)[1]
+
+
 def knn_indices(feats: jnp.ndarray, k: int) -> jnp.ndarray:
     """k nearest neighbors (squared L2, self included).
 
@@ -45,7 +59,7 @@ def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
             "bnc,bmc->bnm", feats, feats, preferred_element_type=jnp.float32
         )
         scores = scores - sq[:, :, None] - sq[:, None, :]
-        return jax.lax.top_k(scores, k)[1]
+        return _top_k(scores, k)
 
     n_chunks = -(-n // _KNN_CHUNK)
     pad = n_chunks * _KNN_CHUNK - n
@@ -60,7 +74,7 @@ def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
             "bqc,bmc->bqm", qc, feats, preferred_element_type=jnp.float32
         )
         s = s - qsqc[:, :, None] - sq[:, None, :]
-        return jax.lax.top_k(s, k)[1]
+        return _top_k(s, k)
 
     idx = jax.lax.map(one_chunk, (q.transpose(1, 0, 2, 3), q_sq.transpose(1, 0, 2)))
     idx = idx.transpose(1, 0, 2, 3).reshape(b, n_chunks * _KNN_CHUNK, k)

@@ -61,14 +61,11 @@ def test_mullevel_shared_stream_roundtrip(rng):
         subs.append(split_levels(res.context, angular=True))
 
     # one stream over all three subtrees
-    all_pdfs, all_syms = [], []
+    enc = ac.StreamingEncoder()
     for s in subs:
-        pdfs, syms, _ = codec.encode(s)
-        all_pdfs += pdfs
-        all_syms += syms
-    pdf = np.concatenate(all_pdfs)
-    sym = np.concatenate(all_syms)
-    stream, bits = ac.ArithmeticEncoder().encode(pdf, sym)
+        for cdf, syms in codec.encode_chunks(s):
+            enc.append_quantized(cdf, syms)
+    stream, bits = enc.finish()
 
     n_total = sum(s.occ_stream.shape[0] for s in subs)
     dec = ac.ArithmeticDecoder(stream, n_total)
