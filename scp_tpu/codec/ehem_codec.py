@@ -84,11 +84,15 @@ class EHEMCodec:
         model: EHEM,
         variables: dict,
         context_size: int = 8192,
-        group_size: int = 4,
+        group_size: int | None = None,
     ):
         self.model = model
         self.variables = variables
         self.context_size = context_size
+        if group_size is None:
+            import os
+
+            group_size = int(os.environ.get("SCP_CODEC_GROUP", 4))
         self.group_size = group_size
         # Variables are runtime arguments (not closure constants) so params
         # stay device buffers instead of HLO constants.
@@ -156,20 +160,29 @@ class EHEMCodec:
                 rows[s] = host[bi, : (m + 1) // 2]
         return [rows[k] for k in sorted(rows)]
 
-    def _phase2_level(self, calls, evens_by_chunk):
-        """Run phase 2 for every chunk given its group-1 occupancies."""
-        rows = {}
+    def _phase2_dispatch(self, calls, evens_by_chunk):
+        """Dispatch phase 2 for every chunk group (async)."""
+        out = []
         for batch, _cdf1, f1, f2, b in calls:
             occ = np.full((f1.shape[0], b // 2), 255, np.int32)  # padded batch
             for bi, (s, m) in enumerate(batch):
                 e = evens_by_chunk[s]
                 occ[bi, : e.shape[0]] = e
-            cdf2 = self._phase2_fn(self.variables, f1, f2, occ)
+            out.append((batch, self._phase2_fn(self.variables, f1, f2, occ)))
+        return out
+
+    def _phase2_fetch(self, dispatched):
+        rows = {}
+        for batch, cdf2 in dispatched:
             host = np.asarray(cdf2)
             for bi, (s, m) in enumerate(batch):
                 if m // 2:
                     rows[s] = host[bi, : m // 2]
         return [rows[k] for k in sorted(rows)]
+
+    def _phase2_level(self, calls, evens_by_chunk):
+        """Run phase 2 for every chunk given its group-1 occupancies."""
+        return self._phase2_fetch(self._phase2_dispatch(calls, evens_by_chunk))
 
     def warmup(self, slices: LevelSlices) -> int:
         """Compile every (batch, bucket) program this cloud will use.
@@ -189,36 +202,46 @@ class EHEMCodec:
             d = np.zeros((bsz, bucket, 4, 3), np.int32)
             d[:, :, :, 2] = 255
             p = np.zeros((bsz, bucket, 3), np.float32)
-            _l1, f1, f2 = self._phase1_fn(self.variables, d, p)
+            cdf1, f1, f2 = self._phase1_fn(self.variables, d, p)
             occ = np.full((bsz, bucket // 2), 255, np.int32)
-            self._phase2_fn(self.variables, f1, f2, occ).block_until_ready()
+            cdf2 = self._phase2_fn(self.variables, f1, f2, occ)
+            # fetch every output: initializes the device->host transfer path
+            # for each shape too (first-fetch costs are large on remote TPU)
+            np.asarray(cdf1), np.asarray(cdf2)
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
 
     def encode_chunks(self, slices: LevelSlices, timers: list | None = None):
         """Generator of (cdf_u16_rows, sym_rows) in coding order: per level,
-        all group-1 rows (chunk order) then all group-2 rows."""
+        all group-1 rows (chunk order) then all group-2 rows.
+
+        Encoding has no sequential data dependency (all occupancies are
+        known), so EVERY phase-1 and phase-2 call of EVERY level is
+        dispatched up front; the fetch/emission pass then streams results
+        off the device while it is still computing deeper levels."""
+        t_start = time.time()
+        per_level = []
         for li in range(slices.num_levels):
             d = slices.data[li]
             pos = slices.level_pos(li)
             occ = d[:, -1, 2]
-            t0 = time.time()
-            calls = self._phase1_level(d, pos)
-            p1_rows = self._phase1_probs(calls)
-            if timers is not None:
-                timers[0] += time.time() - t0
             chunks = self._level_chunks(d, pos)
+            calls = self._phase1_level(d, pos)
             evens = {s: occ[s : s + m][0::2].astype(np.int32) for s, m in chunks}
+            p2_calls = self._phase2_dispatch(calls, evens)
+            per_level.append((chunks, calls, p2_calls, occ))
+
+        for chunks, calls, p2_calls, occ in per_level:
+            p1_rows = self._phase1_probs(calls)
             for (s, m), p1 in zip(chunks, p1_rows):
                 yield p1, occ[s : s + m][0::2].astype(np.int16)
-            t0 = time.time()
-            p2_rows = self._phase2_level(calls, evens)
-            if timers is not None:
-                timers[0] += time.time() - t0
+            p2_rows = self._phase2_fetch(p2_calls)
             odd_chunks = [(s, m) for s, m in chunks if m // 2]
             for (s, m), p2 in zip(odd_chunks, p2_rows):
                 yield p2, occ[s : s + m][1::2].astype(np.int16)
+        if timers is not None:
+            timers[0] += time.time() - t_start
 
     def encode(self, slices: LevelSlices):
         """Materialized form: (cdf_u16 row blocks, sym blocks, model_seconds)."""
