@@ -87,7 +87,10 @@ class EHEMCodec:
         group_size: int | None = None,
     ):
         self.model = model
-        self.variables = variables
+        # Pin params on device once: checkpoint-loaded variables are host
+        # numpy arrays, and passing those to jit re-transfers every weight
+        # on every call (10x decode slowdown observed over the TPU tunnel).
+        self.variables = jax.device_put(variables)
         self.context_size = context_size
         if group_size is None:
             import os

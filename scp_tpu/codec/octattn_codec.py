@@ -34,7 +34,7 @@ _PAD_OCC = 255
 class OctAttentionCodec:
     def __init__(self, model: OctAttention, variables: dict):
         self.model = model
-        self.variables = variables
+        self.variables = jax.device_put(variables)  # pin params on device
         self.csz = model.context_size
         self._fwd_fn = jax.jit(lambda v, d, p: model.apply(v, d, p))
         self._step_fn = jax.jit(
