@@ -163,6 +163,7 @@ class CodecSession:
         system="spher",
         preproc_path="",
         sequential=False,
+        incremental=False,
         mullevel=False,
     ) -> dict:
         results, metrics = self.preproc(
@@ -181,6 +182,14 @@ class CodecSession:
                 mms.append(np.array(slices.pos_mm, np.int64))
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])
+            elif incremental:
+                pdf, syms, t = self.codec.encode_incremental(ctx)
+                timers[0] += t
+                enc.append(pdf, syms)
+                _, _, ml = self.codec.split_levels(ctx)
+                max_levels.append(ml)
+                sub_sizes.append(syms.shape[0])
+                mms.append(np.zeros((ml, 2), np.int64))
             else:
                 t0 = time.time()
                 pdf, syms, t = self.codec.encode(ctx, sequential=sequential)
@@ -246,6 +255,7 @@ class CodecSession:
         out_ply=None,
         ground_truth: np.ndarray | None = None,
         sequential=False,
+        incremental=False,
     ):
         """Bitstream -> occupancy codes -> Cartesian points (+ .ply)."""
         with open(binfile, "rb") as f:
@@ -275,6 +285,8 @@ class CodecSession:
                     lidar_clip=None,
                     ground_truth=gt,
                 )
+            elif incremental:
+                codes = self.codec.decode_incremental(dec, ml, ground_truth=gt)
             else:
                 codes = self.codec.decode(dec, ml, ground_truth=gt, sequential=sequential)
             grid = QuantGrid(

@@ -25,6 +25,8 @@ def get_args(argv=None):
     ap.add_argument("--preproc_path", type=str, default="")
     ap.add_argument("--type", type=str, default="kitti")
     ap.add_argument("--sequential", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="OctAttention KV-cache window schedule")
     ap.add_argument("--mullevel", action="store_true")
     ap.add_argument("--no_check", action="store_true")
     return ap.parse_args(argv)
@@ -72,7 +74,8 @@ def main(argv=None):
 
         out_ply = os.path.join(out_dir, stem + ".ply")
         pts, elapsed = session.decode_file(
-            binfile, out_ply, ground_truth=gt, sequential=args.sequential
+            binfile, out_ply, ground_truth=gt, sequential=args.sequential,
+            incremental=args.incremental,
         )
         total += elapsed
         print(f"decode succeeded, time: {elapsed:.3f}s  points: {len(pts)}")

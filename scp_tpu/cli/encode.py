@@ -27,6 +27,8 @@ def get_args(argv=None):
     ap.add_argument("--ckpt_path", type=str, required=True)
     ap.add_argument("--test_files", nargs="*", default=[])
     ap.add_argument("--sequential", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="OctAttention KV-cache window schedule")
     ap.add_argument("--type", type=str, default="obj", choices=["obj", "kitti", "ford"])
     ap.add_argument("--lidar_level", type=int, default=12)
     ap.add_argument("--level_wise", action="store_true")
@@ -75,6 +77,7 @@ def main(argv=None):
             system=system,
             preproc_path=args.preproc_path,
             sequential=args.sequential,
+            incremental=args.incremental,
             mullevel=args.mullevel,
         )
         bpps.append(stats["bpp"])

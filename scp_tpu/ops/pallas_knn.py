@@ -6,10 +6,16 @@ and then runs top_k over it; this kernel keeps everything in VMEM: each
 folded into a running top-k held in VMEM scratch, so the O(N^2) matrix
 never touches HBM.
 
-Top-k maintenance: per key tile, K rounds of (max, argmax, mask) extract
-the tile's best K into the candidate buffer next to the running best-K,
-then K more rounds select the merged best-K.  K is padded to a 128-lane
-buffer (TPU tiling), the caller slices [..., :k].
+Grid is (query_tiles, key_tiles); the same feature array is passed twice
+with different BlockSpecs (query tile rows, key tile rows), keeping VMEM
+residency to two small tiles.  Scratch persists across the sequential key
+dimension; the output tile is written on the last key step.
+
+Top-k maintenance uses only mask/iota/where primitives (Mosaic TC kernels
+do not lower dynamic_update_slice / gather / argmax): K rounds of
+(max, first-max-column, mask) per key tile extract candidates next to the
+running best-K, then K more rounds select the merged best-K.  K is padded
+to a 128-lane buffer; the caller slices [..., :k].
 
 Correctness is tested in interpret mode on CPU against the XLA path.
 """
@@ -30,80 +36,89 @@ _LANES = 128  # candidate buffer width (>= 2*k, 128-lane aligned)
 _NEG = -3.4e38  # python scalar: pallas kernels must not capture jnp constants
 
 
-def _extract_topk(scores, idx_of_col, k, out_val, out_idx, out_off):
-    """K rounds of max/argmax/mask over `scores` (TQ, M); results written
-    into out_val/out_idx at column offset out_off."""
+def _set_col(arr, j, vals):
+    """arr[:, j] = vals with a static j, via mask."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    return jnp.where(cols == j, vals[:, None].astype(arr.dtype), arr)
+
+
+def _argmax_cols(s):
+    """(row max, index of first max column) via mask/min."""
+    m = jnp.max(s, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    a = jnp.min(jnp.where(s == m[:, None], cols, jnp.int32(2**30)), axis=1)
+    return m, a
+
+
+def _select_cols(arr, a):
+    """Per-row arr[r, a[r]] via one-hot sum."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    return jnp.sum(jnp.where(cols == a[:, None], arr, 0), axis=1)
+
+
+def _knn_kernel(q_ref, k_ref, out_idx_ref, best_val, best_idx, *, n, k, n_key_tiles):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        best_val[:, :] = jnp.full((_TQ, _LANES), _NEG, jnp.float32)
+        best_idx[:, :] = jnp.zeros((_TQ, _LANES), jnp.int32)
+
+    q = q_ref[:, :]  # (TQ, C)
+    keys = k_ref[:, :]  # (TK, C)
+    q_sq = jnp.sum(q * q, axis=1)
+    k_sq = jnp.sum(keys * keys, axis=1)
+    scores = 2.0 * jax.lax.dot_general(
+        q,
+        keys,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores - q_sq[:, None] - k_sq[None, :]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + kt * _TK
+    scores = jnp.where(col_ids < n, scores, _NEG)
+
+    bv = best_val[:, :]
+    bi = best_idx[:, :]
+    # extract this tile's top-k into candidate columns [k, 2k)
     def extract_one(j, carry):
         s, ov, oi = carry
-        m = jnp.max(s, axis=1)
-        a = jnp.argmax(s, axis=1)
-        ov = jax.lax.dynamic_update_slice_in_dim(ov, m[:, None], j, 1)
-        oi = jax.lax.dynamic_update_slice_in_dim(
-            oi, idx_of_col(a)[:, None], j, 1
-        )
+        m, a = _argmax_cols(s)
+        ov = _set_col(ov, j, m)
+        oi = _set_col(oi, j, a + kt * _TK)
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(cols == a[:, None], _NEG, s)
         return s, ov, oi
 
-    carry = (scores, out_val, out_idx)
+    carry = (scores, bv, bi)
     for j in range(k):
-        carry = extract_one(out_off + j, carry)
-    return carry[1], carry[2]
+        carry = extract_one(k + j, carry)
+    bv, bi = carry[1], carry[2]
 
+    # merge: select top-k of the 2k candidates into columns [0, k)
+    cand = bv[:, : 2 * k]
+    cand_idx = bi[:, : 2 * k]
+    merged_v = jnp.full((_TQ, _LANES), _NEG, jnp.float32)
+    merged_i = jnp.zeros((_TQ, _LANES), jnp.int32)
 
-def _knn_kernel(feats_ref, out_idx_ref, best_val, best_idx, *, n, c, k, n_key_tiles):
-    qt = pl.program_id(1)
-    q = feats_ref[pl.ds(qt * _TQ, _TQ), :]  # (TQ, C)
-    q_sq = jnp.sum(q * q, axis=1)  # (TQ,)
+    def pick(j, carry):
+        s, mv, mi = carry
+        m, a = _argmax_cols(s)
+        mv = _set_col(mv, j, m)
+        mi = _set_col(mi, j, _select_cols(cand_idx, a))
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols == a[:, None], _NEG, s)
+        return s, mv, mi
 
-    best_val[:, :] = jnp.full((_TQ, _LANES), _NEG, jnp.float32)
-    best_idx[:, :] = jnp.zeros((_TQ, _LANES), jnp.int32)
+    carry = (cand, merged_v, merged_i)
+    for j in range(k):
+        carry = pick(j, carry)
+    best_val[:, :] = carry[1]
+    best_idx[:, :] = carry[2]
 
-    for kt in range(n_key_tiles):
-        keys = feats_ref[pl.ds(kt * _TK, _TK), :]  # (TK, C)
-        k_sq = jnp.sum(keys * keys, axis=1)
-        scores = 2.0 * jax.lax.dot_general(
-            q,
-            keys,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        scores = scores - q_sq[:, None] - k_sq[None, :]
-        # mask out-of-range key columns (N not a multiple of TK)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + kt * _TK
-        scores = jnp.where(col_ids < n, scores, _NEG)
-
-        bv = best_val[:, :]
-        bi = best_idx[:, :]
-        # extract this tile's top-k into candidate columns [k, 2k)
-        bv, bi = _extract_topk(
-            scores, lambda a, kt=kt: (a + kt * _TK).astype(jnp.int32), k, bv, bi, k
-        )
-        # merge: select top-k of the 2k candidates into columns [0, k)
-        cand = jax.lax.dynamic_slice(bv, (0, 0), (_TQ, 2 * k))
-        cand_idx = jax.lax.dynamic_slice(bi, (0, 0), (_TQ, 2 * k))
-
-        merged_v = jnp.full((_TQ, _LANES), _NEG, jnp.float32)
-        merged_i = jnp.zeros((_TQ, _LANES), jnp.int32)
-
-        def pick(j, carry):
-            s, mv, mi = carry
-            m = jnp.max(s, axis=1)
-            a = jnp.argmax(s, axis=1)
-            mv = jax.lax.dynamic_update_slice_in_dim(mv, m[:, None], j, 1)
-            gathered = jnp.take_along_axis(cand_idx, a[:, None], axis=1)
-            mi = jax.lax.dynamic_update_slice_in_dim(mi, gathered, j, 1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(cols == a[:, None], _NEG, s)
-            return s, mv, mi
-
-        carry = (cand, merged_v, merged_i)
-        for j in range(k):
-            carry = pick(j, carry)
-        best_val[:, :] = carry[1]
-        best_idx[:, :] = carry[2]
-
-    out_idx_ref[pl.ds(qt * _TQ, _TQ), :] = best_idx[:, :]
+    @pl.when(kt == n_key_tiles - 1)
+    def _():
+        out_idx_ref[:, :] = best_idx[:, :]
 
 
 def _knn_single(feats, k, *, interpret=False):
@@ -113,21 +128,24 @@ def _knn_single(feats, k, *, interpret=False):
     n_q_tiles = n_pad // _TQ
     n_key_tiles = n_pad // _TK
 
-    kernel = functools.partial(
-        _knn_kernel, n=n, c=c, k=k, n_key_tiles=n_key_tiles
-    )
+    kernel = functools.partial(_knn_kernel, n=n, k=k, n_key_tiles=n_key_tiles)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, _LANES), jnp.int32),
-        grid=(1, n_q_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(n_q_tiles, n_key_tiles),
+        in_specs=[
+            pl.BlockSpec((_TQ, c), lambda qt, kt: (qt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TK, c), lambda qt, kt: (kt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TQ, _LANES), lambda qt, kt: (qt, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((_TQ, _LANES), jnp.float32),
             pltpu.VMEM((_TQ, _LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(feats_p)
+    )(feats_p, feats_p)
     return out[:n, :k]
 
 
