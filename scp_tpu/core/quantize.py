@@ -58,12 +58,14 @@ def make_grid(
     """Derive a QuantGrid from data, mirroring reference `proc_pc`."""
     if system == "cylin":
         t = cart2cylin(points)
-        bin_num = int(np.round(t[:, 0].max() / qs) + 1)
+        # >= 2 bins: a qs larger than the data range would otherwise zero
+        # the angular step (and the reference would divide by zero)
+        bin_num = max(int(np.round(t[:, 0].max() / qs) + 1), 2)
         qs_vec = np.array([qs, 2.0 * math.pi / (bin_num - 1), qs])
         off = np.array([0.0, 0.0, float(t[:, 2].min())])
     elif system == "spher":
         t = cart2spher(points)
-        bin_num = int(np.round(t[:, 0].max() / qs) + 1)
+        bin_num = max(int(np.round(t[:, 0].max() / qs) + 1), 2)
         qs_vec = np.array(
             [qs, 2.0 * math.pi / (bin_num - 1), math.pi / (bin_num - 1)]
         )

@@ -123,6 +123,61 @@ def test_tools_then_encode_decode(tmp_path, rng, tiny_run):
     )
 
 
+def test_mullevel_cli_roundtrip(tmp_path, rng, tiny_run):
+    """3-subtree encode through the session + decode with shared AC state
+    (reference encode_mullevel.py / decode_ehem_mullevel.py surface)."""
+    run_dir, ck = tiny_run
+    data_dir = tmp_path / "ford"
+    data_dir.mkdir()
+    pts = lidar_ply(str(data_dir / "scan1.ply"), rng, n=500)
+
+    from scp_tpu.cli.codec_common import CodecSession
+
+    session = CodecSession(ck, run_dir)
+    out_dir = str(tmp_path / "out_ml")
+    # ford qs at L15 = 8 units: coarse but valid for the meter-scale cloud
+    stats = session.encode_file(
+        str(data_dir / "scan1.ply"),
+        out_dir,
+        data_type="ford",
+        lidar_level=15,
+        system="spher",
+        mullevel=True,
+    )
+    assert stats["bpp"] > 0
+    binfile = stats["outputfile"]
+    from scp_tpu.codec.bitstream import unpack_stream
+
+    with open(binfile, "rb") as f:
+        header, _ = unpack_stream(f.read())
+    assert len(header.subtree_sizes) == 3
+
+    pts_rec, _ = session.decode_file(binfile)
+    # reconstruction must match the dequantized union of the 3 subtrees
+    results, _ = session.preproc(
+        str(data_dir / "scan1.ply"), "ford", 15, "spher", mullevel=True
+    )
+    import numpy as np2
+
+    from scp_tpu.core import deoctree
+    from scp_tpu.codec.slices import split_levels
+
+    expected = np.vstack(
+        [g.from_grid(np2.unique(_ctx_points(c), axis=0)) for c, g in results]
+    )
+    np.testing.assert_allclose(
+        np.sort(pts_rec, axis=0), np.sort(expected.astype(np.float32), axis=0),
+        atol=1e-4,
+    )
+
+
+def _ctx_points(ctx):
+    """Leaf grid coordinates implied by a context shard's occupancy stream."""
+    from scp_tpu.core import deoctree
+
+    return deoctree(ctx[:, -1, 0].astype(np.int64))
+
+
 def test_multi_preproc_fanout(tmp_path, rng):
     data_dir = tmp_path / "clouds"
     data_dir.mkdir()
