@@ -20,8 +20,9 @@ for the hardware):
     `group_size`), so the MXU sees (G*8192, ...) matmuls.
   * Every shape is a power-of-two bucket -> a handful of XLA programs.
   * The encoder runs the SAME two jitted programs as the decoder on
-    identically padded inputs with one shared host softmax, so CDFs agree
-    bit-for-bit and the range coder never desyncs.
+    identically padded inputs, and those programs emit the quantized CDF
+    rows themselves — CDF agreement is structural, the range coder never
+    desyncs.
 
 The chunk-local checkerboard (even/odd within a chunk) is preserved, so
 per-symbol probabilities — and therefore bpp — are identical to the
@@ -41,7 +42,6 @@ from scp_tpu.codec.slices import (
     bucket_for,
     normalize_positions,
     pad_rows,
-    softmax_np,
     split_levels,
 )
 from scp_tpu.core.octree import occupancy_to_child_octants
@@ -51,9 +51,9 @@ from scp_tpu.models.ehem import EHEM
 def logits_to_cdf(logits):
     """Device-side softmax + 16-bit CDF quantization.
 
-    Same arithmetic as ac.quantize_cdf (float32 softmax/cumsum, float64
-    scale, round-half-even, +index ramp, mod 2^16); the uint16 rows feed
-    the native coder directly."""
+    float32 softmax/cumsum/scale + round-half-even + index ramp, mod 2^16
+    (same construction as ac.quantize_cdf, in f32 end-to-end since TPUs
+    have no f64); the uint16 rows feed the native coder directly."""
     import jax.numpy as jnp
 
     x = logits.astype(jnp.float32)

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import os
 from pathlib import Path
 
 from scp_tpu.core.preprocess import preprocess_file

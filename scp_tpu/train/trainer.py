@@ -106,7 +106,6 @@ class Trainer:
 
     def _build_step(self):
         model, tx, constants = self.model, self.tx, self._constants
-        has_bn = True  # EHEM has BatchNorm; harmless no-op for OctAttention
 
         def loss_fn(params, batch_stats, batch):
             variables = {"params": params, **constants}
@@ -165,7 +164,9 @@ class Trainer:
         save_config(cfg, run_dir)
         metrics_path = os.path.join(run_dir, "metrics.jsonl")
 
-        gen = dataset.batches()
+        from scp_tpu.train.data import prefetch
+
+        gen = prefetch(dataset.batches(), depth=2)  # overlap host prep
         first = next(gen)
         state = self.init_state(first)
         start_epoch = 0
