@@ -165,6 +165,7 @@ class CodecSession:
         sequential=False,
         incremental=False,
         mullevel=False,
+        level_wise=True,
     ) -> dict:
         results, metrics = self.preproc(
             ori_file, data_type, lidar_level, system, preproc_path, mullevel
@@ -191,8 +192,9 @@ class CodecSession:
                 sub_sizes.append(syms.shape[0])
                 mms.append(np.zeros((ml, 2), np.int64))
             else:
-                t0 = time.time()
-                pdf, syms, t = self.codec.encode(ctx, sequential=sequential)
+                pdf, syms, t = self.codec.encode(
+                    ctx, sequential=sequential, level_wise=level_wise
+                )
                 timers[0] += t
                 enc.append(pdf, syms)
                 _, _, ml = self.codec.split_levels(ctx)
@@ -256,6 +258,7 @@ class CodecSession:
         ground_truth: np.ndarray | None = None,
         sequential=False,
         incremental=False,
+        level_wise=True,
     ):
         """Bitstream -> occupancy codes -> Cartesian points (+ .ply)."""
         with open(binfile, "rb") as f:
@@ -288,7 +291,10 @@ class CodecSession:
             elif incremental:
                 codes = self.codec.decode_incremental(dec, ml, ground_truth=gt)
             else:
-                codes = self.codec.decode(dec, ml, ground_truth=gt, sequential=sequential)
+                codes = self.codec.decode(
+                    dec, ml, ground_truth=gt, sequential=sequential,
+                    level_wise=level_wise,
+                )
             grid = QuantGrid(
                 system=str(man["system"]),
                 qs=man["qs"][i],

@@ -25,6 +25,7 @@ def get_args(argv=None):
     ap.add_argument("--preproc_path", type=str, default="")
     ap.add_argument("--type", type=str, default="kitti")
     ap.add_argument("--sequential", action="store_true")
+    ap.add_argument("--level_wise", action="store_true")
     ap.add_argument("--incremental", action="store_true",
                     help="OctAttention KV-cache window schedule")
     ap.add_argument("--mullevel", action="store_true")
@@ -76,6 +77,7 @@ def main(argv=None):
         pts, elapsed = session.decode_file(
             binfile, out_ply, ground_truth=gt, sequential=args.sequential,
             incremental=args.incremental,
+            level_wise=args.level_wise or session.is_ehem,
         )
         total += elapsed
         print(f"decode succeeded, time: {elapsed:.3f}s  points: {len(pts)}")

@@ -78,6 +78,7 @@ def main(argv=None):
             sequential=args.sequential,
             incremental=args.incremental,
             mullevel=args.mullevel,
+            level_wise=args.level_wise,
         )
         bpps.append(stats["bpp"])
         times.append(stats["seconds"])

@@ -55,8 +55,10 @@ class OctAttentionCodec:
     # -- level slicing (reference EncodeDataset, encode_dataset.py:32-55) --
 
     @staticmethod
-    def split_levels(ctx: np.ndarray):
-        """Raw (N, 4, 6) shard -> per-level (data(occ,level,octant), pos)."""
+    def split_levels(ctx: np.ndarray, level_wise: bool = True):
+        """Raw (N, 4, 6) shard -> per-level (data(occ,level,octant), pos).
+        level_wise=False returns the whole BFS stream as one slice (the
+        reference obj-type default, encode_dataset.py:43)."""
         ctx = np.asarray(ctx)
         occ = ctx[:, :, 0].astype(np.int32) - 1
         node_level = ctx[:, -1, 1].astype(np.int32)
@@ -66,6 +68,8 @@ class OctAttentionCodec:
             axis=-1,
         )
         pos_all = (ctx[:, :, 3:6] / float(2**max_level)).astype(np.float32)
+        if not level_wise:
+            return [(data_all, pos_all)], occ[:, -1].astype(np.int16), max_level
         levels = []
         for l in range(1, max_level + 1):
             sel = node_level == l
@@ -93,9 +97,10 @@ class OctAttentionCodec:
 
     # -- encode -------------------------------------------------------------
 
-    def encode(self, ctx: np.ndarray, sequential: bool = False):
+    def encode(self, ctx: np.ndarray, sequential: bool = False,
+               level_wise: bool = True):
         """-> (pdf (N,255), syms (N,), model_seconds); rows in BFS order."""
-        levels, occ_stream, _ = self.split_levels(ctx)
+        levels, occ_stream, _ = self.split_levels(ctx, level_wise=level_wise)
         pdfs = []
         elapsed = 0.0
         for data, pos in levels:
@@ -127,8 +132,11 @@ class OctAttentionCodec:
         pdf = np.concatenate(pdfs, axis=0)
         return pdf, occ_stream, elapsed
 
-    def encode_to_stream(self, ctx: np.ndarray, sequential: bool = False):
-        pdf, syms, elapsed = self.encode(ctx, sequential=sequential)
+    def encode_to_stream(self, ctx: np.ndarray, sequential: bool = False,
+                         level_wise: bool = True):
+        pdf, syms, elapsed = self.encode(
+            ctx, sequential=sequential, level_wise=level_wise
+        )
         stream, bits = ac.ArithmeticEncoder().encode(pdf, syms)
         return stream, bits, elapsed
 
@@ -249,6 +257,7 @@ class OctAttentionCodec:
         max_level: int,
         ground_truth: np.ndarray | None = None,
         sequential: bool = False,
+        level_wise: bool = True,
     ) -> np.ndarray:
         """Sequential wavefront decode (one forward per node).
 
@@ -267,19 +276,30 @@ class OctAttentionCodec:
 
         codes = []
         decoded = 0
+        # level_wise=False: ONE padded stream spanning all levels (the
+        # reference's obj-type default, EncodeDataset with level_wise=False,
+        # encode_dataset.py:43); level_wise=True: the stream (and its pad
+        # prefix) restarts at every level.
+        pad_d = np.zeros((self.csz - 1, k, 3), np.int32)
+        pad_d[:, :, 0] = _PAD_OCC
+        pad_p = np.zeros((self.csz - 1, k, 3), np.float32)
+        rows_d, rows_p = pad_d, pad_p
+        level_base = 0  # index of this level's first node within rows_d
         for level in range(1, max_level + 1):
             data = np.concatenate([anc_d, self_d], axis=1)  # (m, k, 3)
             pos_int = np.concatenate([anc_p, self_p], axis=1)  # (m, k, 3)
             m = data.shape[0]
-            rows_d = np.zeros((self.csz - 1 + m, k, 3), np.int32)
-            rows_d[:, :, 0] = _PAD_OCC
-            rows_d[self.csz - 1 :] = data
-            rows_p = np.zeros((self.csz - 1 + m, k, 3), np.float32)
-            rows_p[self.csz - 1 :] = pos_int.astype(np.float32) * inv_scale
+            if level_wise:
+                rows_d, rows_p = pad_d, pad_p
+            level_base = rows_d.shape[0] - (self.csz - 1)
+            rows_d = np.concatenate([rows_d, data])
+            rows_p = np.concatenate(
+                [rows_p, pos_int.astype(np.float32) * inv_scale]
+            )
 
             level_occ = np.empty(m, np.int32)
             for node in range(m):
-                padded_idx = node + self.csz - 1
+                padded_idx = level_base + node + self.csz - 1
                 if sequential:
                     start = padded_idx - (self.csz - 1)
                 else:
