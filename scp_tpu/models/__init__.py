@@ -9,6 +9,8 @@ from scp_tpu.models.octattention import OctAttention
 _REGISTRY = {
     "OctAttention": OctAttention,
     "EHEM": EHEM,
+    # checkpoint-compat alias (the reference's encode.py:249 accepts it)
+    "EHEMVoxel": EHEM,
 }
 
 

@@ -189,6 +189,14 @@ class Trainer:
         log_every = int(cfg.train.get("log_every", 50))
         step = int(state.step)
         t0 = time.time()
+        wandb_run = None
+        if cfg.train.get("wandb", False):
+            try:  # optional: not installed in minimal images
+                import wandb
+
+                wandb_run = wandb.init(project="scp_tpu", config=cfg.to_plain())
+            except Exception as e:
+                print(f"wandb unavailable ({e}); logging to metrics.jsonl only")
         with open(metrics_path, "a") as mf:
             for epoch in range(start_epoch, epochs):
                 for _ in range(self.steps_per_epoch):
@@ -205,6 +213,11 @@ class Trainer:
                             "wall": time.time() - t0,
                         }
                         mf.write(json.dumps(rec) + "\n")
+                        if wandb_run is not None:
+                            wandb_run.log(
+                                {"train_loss": rec["train_loss"], "lr": rec["lr"]},
+                                step=step,
+                            )
                         mf.flush()
                         print(
                             f"epoch {epoch} step {step} "
