@@ -302,18 +302,28 @@ class EHEMCodec:
 
             chunks = self._level_chunks(dc, pos)
             calls = self._phase1_level(dc, pos)
-            p1_rows = self._phase1_probs(calls)
-            evens_flat = dec.decode_batch_quantized(
-                np.concatenate(p1_rows)
-            ).astype(np.int32)
+            # Stream the level: as each group's CDF rows land on the host,
+            # AC-decode its group-1 symbols (stream order == chunk order)
+            # and dispatch its phase 2 right away — the arithmetic coder and
+            # transfers overlap the device computing later groups.
             evens_by_chunk = {}
-            off = 0
-            for s, m in chunks:
-                cnt = (m + 1) // 2
-                evens_by_chunk[s] = evens_flat[off : off + cnt]
-                off += cnt
+            p2_dispatched = []
+            for batch, cdf1, f1, f2, b in calls:
+                host = np.asarray(cdf1)
+                for bi, (s, m) in enumerate(batch):
+                    rows = host[bi, : (m + 1) // 2]
+                    evens_by_chunk[s] = dec.decode_batch_quantized(rows).astype(
+                        np.int32
+                    )
+                occ = np.full((f1.shape[0], b // 2), 255, np.int32)
+                for bi, (s, m) in enumerate(batch):
+                    e = evens_by_chunk[s]
+                    occ[bi, : e.shape[0]] = e
+                p2_dispatched.append(
+                    (batch, self._phase2_fn(self.variables, f1, f2, occ))
+                )
 
-            p2_rows = self._phase2_level(calls, evens_by_chunk)
+            p2_rows = self._phase2_fetch(p2_dispatched)
             odd_chunks = [(s, m) for s, m in chunks if m // 2]
             if p2_rows:
                 odds_flat = dec.decode_batch_quantized(
