@@ -57,6 +57,8 @@ def build_octree(points: np.ndarray, max_level: int | None = None) -> OctreeArra
     points = np.asarray(points)
     if points.ndim != 2 or points.shape[1] != 3:
         raise ValueError("points must be (N, 3)")
+    if points.shape[0] == 0:
+        raise ValueError("cannot build an octree from an empty point set")
     bits = axis_bits(points) if max_level is None else int(max_level)
     keys = morton_encode(points, bits)
     keys = np.unique(keys)  # sorted unique leaf keys

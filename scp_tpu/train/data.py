@@ -63,12 +63,14 @@ class ShardDataset:
         """Yield (data(N,4,3) int32, pos float32, label int32) windows."""
         csz = self.context_size
         while True:
+            yielded_any = False
             order = self.rng.permutation(len(self.files))
             for fi in order:
                 shard = np.load(self.files[fi], mmap_mode="r")
                 n_win = shard.shape[0] // csz
                 if n_win == 0:
                     continue
+                yielded_any = True
                 win_order = self.rng.permutation(n_win) if self.mode == "ehem" else range(n_win)
                 max_level = int(shard[:, -1, 1].max())
                 for w in win_order:
@@ -91,6 +93,11 @@ class ShardDataset:
                         pos,
                         label.astype(np.int32),
                     )
+            if not yielded_any:
+                raise ValueError(
+                    f"every shard is shorter than context_size={csz}; "
+                    "no training windows can be drawn"
+                )
 
     def batches(self):
         """Yield stacked batches; EHEM optionally truncates to a bucket."""

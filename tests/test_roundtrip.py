@@ -154,6 +154,29 @@ def test_octattention_incremental_roundtrip(rng):
     np.testing.assert_array_equal(codes, occ_stream)
 
 
+def test_octattention_sequential_roundtrip(rng):
+    """Sliding-window schedule (reference --sequential / decode.py)."""
+    model = OctAttention(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=16,
+    )
+    pts = small_cloud(rng, n=40, bits=3)
+    tree = build_octree(pts)
+    ctx = gen_context(tree)
+    d = np.zeros((1, 16, 4, 3), np.int32)
+    p = np.zeros((1, 16, 4, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(1), d, p)
+    from scp_tpu.codec.octattn_codec import OctAttentionCodec as Codec
+
+    codec = Codec(model, variables)
+    stream, _, _ = codec.encode_to_stream(ctx, sequential=True)
+    _, occ_stream, max_level = codec.split_levels(ctx)
+    dec = ac.ArithmeticDecoder(stream, occ_stream.shape[0])
+    codes = codec.decode(dec, max_level, ground_truth=occ_stream, sequential=True)
+    np.testing.assert_array_equal(codes, occ_stream)
+
+
 def test_octattention_whole_stream_roundtrip(rng):
     """level_wise=False (obj-type default): one padded BFS stream."""
     model = OctAttention(

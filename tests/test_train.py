@@ -64,6 +64,23 @@ def test_octattn_dataset_shapes(tmp_path, rng):
     np.testing.assert_array_equal(batch["label"], batch["data"][:, :, -1, 0])
 
 
+def test_vari_data_len_buckets(tmp_path, rng):
+    """Variable-length sampling only produces lengths from the bucket set
+    (bounded XLA program count by construction)."""
+    from scp_tpu.train.data import EHEM_LEN_BUCKETS
+
+    root = make_shards(tmp_path, rng, bits=7)
+    ds = ShardDataset(
+        root, context_size=8192, batch_size=1, mode="ehem",
+        vari_data_len=True, seed=3,
+    )
+    gen = ds.batches()
+    seen = {next(gen)["data"].shape[1] for _ in range(30)}
+    allowed = set(EHEM_LEN_BUCKETS) | {8192}
+    assert seen <= allowed
+    assert len(seen) > 1  # truncation actually triggers (p=0.3)
+
+
 def test_cross_entropy_bits():
     logits = np.zeros((2, 4, 255), np.float32)
     labels = np.zeros((2, 4), np.int32)
