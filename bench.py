@@ -60,11 +60,22 @@ def main():
     t_pre = time.time() - t0
 
     model = EHEM(dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, 16, 4, 3), np.int32),
-        np.zeros((1, 16, 3), np.float32),
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "checkpoints", "ehem_synth_f16.npz",
     )
+    if os.path.exists(ckpt):
+        from scp_tpu.train.checkpoints import load_params_npz
+
+        variables = load_params_npz(ckpt)
+        print(f"# loaded trained checkpoint {os.path.basename(ckpt)}", file=sys.stderr)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 16, 4, 3), np.int32),
+            np.zeros((1, 16, 3), np.float32),
+        )
+        print("# WARNING: no checkpoint, benching an untrained model", file=sys.stderr)
     codec = EHEMCodec(model, variables, context_size=8192)
 
     # Warm-up: compile every program this cloud uses (excluded from timing),
@@ -82,7 +93,9 @@ def main():
     t_enc = time.time() - t0
 
     t0 = time.time()
-    dec = ac.ArithmeticDecoder(stream, slices.occ_stream.shape[0])
+    dec = ac.ArithmeticDecoder(
+        stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
+    )
     codes = codec.decode(
         dec,
         slices.max_level,

@@ -95,10 +95,12 @@ class StreamingEncoder:
     def __init__(self):
         if ac_native.available():
             self._enc = ac_native.NativeEncoder()
-            self._rows = None
+            self._native = True
         else:
-            self._enc = None
-            self._rows, self._syms = [], []
+            from scp_tpu.ac.py_coder import PyEncoder
+
+            self._enc = PyEncoder()
+            self._native = False
         self.n_sym = 0
 
     def append(self, pdf: np.ndarray, syms: np.ndarray):
@@ -108,14 +110,11 @@ class StreamingEncoder:
         pdf = np.asarray(pdf)
         check_pdf(pdf, syms)
         self.n_sym += syms.shape[0]
-        if self._enc is not None and pdf.dtype == np.float32:
+        if self._native and pdf.dtype == np.float32:
             # fused native path (bit-identical to the numpy quantizer)
             self._enc.append_pdf(pdf, syms)
-        elif self._enc is not None:
-            self._enc.append(pdf_to_quantized_cdf(pdf), syms)
         else:
-            self._rows.append(pdf_to_quantized_cdf(pdf))
-            self._syms.append(syms)
+            self._enc.append(pdf_to_quantized_cdf(pdf), syms)
 
     def append_quantized(self, cdf_u16: np.ndarray, syms: np.ndarray):
         """Feed already-quantized uint16 CDF rows (e.g. produced on device)."""
@@ -124,21 +123,20 @@ class StreamingEncoder:
             return
         cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
         self.n_sym += syms.shape[0]
-        if self._enc is not None:
-            self._enc.append(cdf_u16, syms)
-        else:
-            self._rows.append(cdf_u16)
-            self._syms.append(syms)
+        self._enc.append(cdf_u16, syms)
+
+    def append_intervals(self, iv_u16: np.ndarray):
+        """Feed pre-gathered (c_low, c_high) u16 interval pairs (m, 2) —
+        the device-side staged-coding hand-off (codec/staged.py); one AC
+        step per row, c_high == 0 meaning the wrapped top 2^16."""
+        iv_u16 = np.ascontiguousarray(iv_u16, dtype=np.uint16).reshape(-1, 2)
+        if iv_u16.shape[0] == 0:
+            return
+        self.n_sym += iv_u16.shape[0]
+        self._enc.append_intervals(iv_u16)
 
     def finish(self, binfile: str | None = None) -> tuple[bytes, int]:
-        if self._enc is not None:
-            stream = self._enc.finish()
-        else:
-            from scp_tpu.ac.py_coder import py_encode
-
-            stream = py_encode(
-                np.concatenate(self._rows), np.concatenate(self._syms)
-            )
+        stream = self._enc.finish()
         if binfile is not None:
             with open(binfile, "wb") as f:
                 f.write(stream)

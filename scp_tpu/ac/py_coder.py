@@ -40,19 +40,23 @@ class _BitWriter:
             self.push(0)
 
 
-def py_encode(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
-    cdf = np.asarray(cdf_u16, dtype=np.uint64)
-    syms = np.asarray(syms, dtype=np.int64)
-    n, lp = cdf.shape
-    low, high, pending = 0, _MASK32, 0
-    w = _BitWriter()
-    for i in range(n):
-        s = int(syms[i])
-        c_low = int(cdf[i, s])
-        c_high = _SCALE if s == lp - 2 else int(cdf[i, s + 1])
-        span = high - low + 1
-        high = ((low - 1) + ((span * c_high) >> 16)) & _MASK32
-        low = (low + ((span * c_low) >> 16)) & _MASK32
+class PyEncoder:
+    """Stateful streaming encoder (mirror of the native Encoder struct)."""
+
+    def __init__(self):
+        self.low, self.high, self.pending = 0, _MASK32, 0
+        self.w = _BitWriter()
+        self._finished = None
+
+    def encode_interval(self, c_low: int, c_high: int):
+        """One coding step from a pre-gathered (c_low, c_high) interval;
+        c_high == 0 means the wrapped CDF top 2^16."""
+        if c_high == 0:
+            c_high = _SCALE
+        span = self.high - self.low + 1
+        self.high = ((self.low - 1) + ((span * c_high) >> 16)) & _MASK32
+        self.low = (self.low + ((span * c_low) >> 16)) & _MASK32
+        low, high, pending, w = self.low, self.high, self.pending, self.w
         while True:
             if high < _TOP:
                 pending = w.push_pending(0, pending)
@@ -67,10 +71,36 @@ def py_encode(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
                 break
             low = (low << 1) & _MASK32
             high = ((high << 1) | 1) & _MASK32
-    pending += 1
-    w.push_pending(0 if low < _Q1 else 1, pending)
-    w.pad()
-    return bytes(w.bytes)
+        self.low, self.high, self.pending = low, high, pending
+
+    def append(self, cdf_u16: np.ndarray, syms: np.ndarray):
+        cdf = np.asarray(cdf_u16, dtype=np.uint64)
+        syms = np.asarray(syms, dtype=np.int64)
+        n, lp = cdf.shape
+        for i in range(n):
+            s = int(syms[i])
+            c_low = int(cdf[i, s])
+            c_high = _SCALE if s == lp - 2 else int(cdf[i, s + 1])
+            self.encode_interval(c_low, c_high)
+
+    def append_intervals(self, iv_u16: np.ndarray):
+        iv = np.asarray(iv_u16, dtype=np.uint64).reshape(-1, 2)
+        for c_low, c_high in iv:
+            self.encode_interval(int(c_low), int(c_high))
+
+    def finish(self) -> bytes:
+        if self._finished is None:
+            self.pending += 1
+            self.w.push_pending(0 if self.low < _Q1 else 1, self.pending)
+            self.w.pad()
+            self._finished = bytes(self.w.bytes)
+        return self._finished
+
+
+def py_encode(cdf_u16: np.ndarray, syms: np.ndarray) -> bytes:
+    enc = PyEncoder()
+    enc.append(cdf_u16, syms)
+    return enc.finish()
 
 
 class PyDecoder:

@@ -68,6 +68,29 @@ class CodecSession:
 
     # -- preprocessing -----------------------------------------------------
 
+    @staticmethod
+    def _derive_grid(ref_pts, ori_file, data_type, lidar_level, system):
+        """Reconstruct the QuantGrid a preprocessing run would have used
+        (grid parameters depend only on the points, system and step size —
+        not on the octree)."""
+        from scp_tpu.core.preprocess import rotate_axes
+        from scp_tpu.core.quantize import make_grid
+
+        if data_type == "obj":
+            p = ref_pts
+            if any(n in ori_file for n in MVUB_NAMES):
+                p = rotate_axes(p)
+            return make_grid(p, system="cart", qs=1.0, offset="min")
+        qs = level_qs(data_type, lidar_level)
+        return make_grid(
+            ref_pts,
+            system=system,
+            qs=qs,
+            offset=(-200 if data_type == "kitti" else -(2**17))
+            if system == "cart"
+            else 0,
+        )
+
     def _preproc_one(self, ori_file, data_type, lidar_level, system, morton_path=None):
         if data_type == "obj":
             # dense object clouds (MPEG/MVUB): unit grid, min offset, MVUB
@@ -104,22 +127,40 @@ class CodecSession:
             suffixes = ["_0_0", "_0_1", "_1"] if mullevel else [""]
             ctxs = [np.load(base + s + ".npy") for s in suffixes]
             meta = np.load(base + "_meta.npy")
-            manifest = np.load(base + "_manifest.npz", allow_pickle=True)
-            results = []
-            for i, c in enumerate(ctxs):
-                g = QuantGrid(
-                    system=str(manifest["system"]),
-                    qs=manifest["qs"][i],
-                    offset=manifest["offset"][i],
-                    bin_num=int(manifest["bin_num"][i]),
-                )
-                results.append((c, g))
+            ref_pts = read_points(ori_file)
+            if os.path.exists(base + "_manifest.npz"):
+                manifest = np.load(base + "_manifest.npz", allow_pickle=True)
+                grids = [
+                    QuantGrid(
+                        system=str(manifest["system"]),
+                        qs=manifest["qs"][i],
+                        offset=manifest["offset"][i],
+                        bin_num=int(manifest["bin_num"][i]),
+                    )
+                    for i in range(len(ctxs))
+                ]
+                z_offset = float(meta[2]) if len(meta) > 2 else 0.0
+            else:
+                # Reference-style cache (shards + `_meta.npy` only,
+                # reference encode_dataset_ehem.py:126-135): rebuild the
+                # grids exactly as preprocessing would, from the original
+                # points + (type, level, system) (the reference re-derives
+                # qs/bin_num the same way, encode_dataset_ehem.py:136-171).
+                grids = [
+                    self._derive_grid(
+                        ref_pts, ori_file, data_type,
+                        lidar_level + (j if mullevel else 0), system,
+                    )
+                    for j in range(len(ctxs))
+                ]
+                z_offset = float(grids[0].offset[2])
+            results = list(zip(ctxs, grids))
             metrics = {
                 "bin_num": int(meta[0]),
                 "chamfer": float(meta[1]),
-                "z_offset": float(meta[2]) if len(meta) > 2 else 0.0,
+                "z_offset": z_offset,
                 "psnr_d1": 0.0,
-                "ref_points": read_points(ori_file),
+                "ref_points": ref_pts,
             }
             return results, metrics
 
@@ -178,15 +219,14 @@ class CodecSession:
         for ctx, _grid in results:
             if self.is_ehem:
                 slices = split_levels(ctx, angular=angular)
-                for cdf, s in self.codec.encode_chunks(slices, timers):
-                    enc.append_quantized(cdf, s)
+                timers[0] += self.codec.encode_into(enc, slices)
                 mms.append(np.array(slices.pos_mm, np.int64))
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])
             elif incremental:
-                pdf, syms, t = self.codec.encode_incremental(ctx)
+                rows, syms, t = self.codec.encode_incremental(ctx)
                 timers[0] += t
-                enc.append(pdf, syms)
+                enc.append_quantized(rows, syms)
                 _, _, ml = self.codec.split_levels(ctx)
                 max_levels.append(ml)
                 sub_sizes.append(syms.shape[0])
@@ -206,6 +246,8 @@ class CodecSession:
         n_sym = enc.n_sym
         payload, bits = enc.finish()
 
+        import jax
+
         header = StreamHeader(
             n_sym=int(n_sym),
             max_level=int(sum(max_levels)) if mullevel else int(max_levels[0]),
@@ -216,6 +258,8 @@ class CodecSession:
             qs_rho=float(level_qs(data_type, lidar_level)),
             pos_mm=np.concatenate(mms, axis=0) if mms else np.zeros((0, 2), np.int64),
             subtree_sizes=tuple(sub_sizes),
+            coding_mode=self.codec.mode if self.is_ehem else "full",
+            backend=jax.default_backend(),
         )
         os.makedirs(out_dir, exist_ok=True)
         stem = shard_name(ori_file, data_type)
@@ -236,7 +280,9 @@ class CodecSession:
         )
 
         pt_num = metrics["ref_points"].shape[0]
-        oct_num = int(n_sym)
+        # sub_sizes counts octree nodes; n_sym counts AC steps (2 per node
+        # in the staged stream format), used to size the decoder.
+        oct_num = int(sum(sub_sizes))
         return {
             "outputfile": outputfile,
             "seconds": elapsed,
@@ -263,6 +309,31 @@ class CodecSession:
         """Bitstream -> occupancy codes -> Cartesian points (+ .ply)."""
         with open(binfile, "rb") as f:
             header, payload = unpack_stream(f.read())
+        import jax
+
+        if (
+            header.backend
+            and header.backend != jax.default_backend()
+            and not os.environ.get("SCP_ALLOW_CROSS_BACKEND")
+        ):
+            # Cross-backend decode is outside the determinism contract:
+            # encoder and decoder must run the SAME compiled programs, and
+            # XLA float math differs between backends (fusion, precision,
+            # top-k tie handling) -> quantized CDFs would diverge and the
+            # range coder desync.  (The reference has the same implicit
+            # single-device contract, decode_ehem.py:184.)
+            raise RuntimeError(
+                f"bitstream was encoded on backend {header.backend!r}; "
+                f"decoding on {jax.default_backend()!r} is not supported "
+                "(set SCP_ALLOW_CROSS_BACKEND=1 to try anyway)"
+            )
+        if self.is_ehem and header.coding_mode != self.codec.mode:
+            self.codec = EHEMCodec(
+                self.model,
+                self.variables,
+                self.cfg.model.context_size,
+                mode=header.coding_mode,
+            )
         man = np.load(binfile + ".manifest.npz", allow_pickle=True)
         max_levels = man["max_levels"]
         dec = ac.ArithmeticDecoder(payload, header.n_sym)

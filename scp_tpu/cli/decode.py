@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from pathlib import Path
+import re
 
 import numpy as np
 
@@ -51,10 +51,17 @@ def main(argv=None):
 
     total = 0.0
     for i, ori in enumerate(test_files):
-        stem = Path(ori).stem
+        # the encoder names streams shard_name [+ _spher|_cylin] +
+        # "_<levels>_<bin>_<z>.bin" (reference_style_name); match the full
+        # structure so stem "17" cannot match file "170_..." and stem "a"
+        # cannot match "a_b_...".
+        stem = shard_name(ori, args.type)
+        pat = re.compile(
+            re.escape(stem) + r"(_spher|_cylin)?_\d+_\d+_-?\d+\.bin$"
+        )
         binfile = None
-        for f in os.listdir(out_dir):
-            if stem in f and f.endswith(".bin"):
+        for f in sorted(os.listdir(out_dir)):
+            if pat.fullmatch(f):
                 binfile = os.path.join(out_dir, f)
                 break
         if binfile is None:

@@ -66,7 +66,9 @@ def main(argv=None):
         codec = EHEMCodec(model, variables, context_size=64)
         slices = split_levels(ctx, angular=args.system != "cart")
         stream, bits, _ = codec.encode_to_stream(slices)
-        dec = ac.ArithmeticDecoder(stream, slices.occ_stream.shape[0])
+        dec = ac.ArithmeticDecoder(
+            stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
+        )
         codes = codec.decode(
             dec, slices.max_level, np.array(slices.pos_mm, np.int64),
             angular=args.system != "cart", ground_truth=slices.occ_stream,

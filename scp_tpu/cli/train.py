@@ -39,6 +39,25 @@ def main(argv=None):
     dataset = build_dataset(cfg)
     trainer = Trainer(cfg, steps_per_epoch=dataset.steps_per_epoch())
 
+    # held-out validation batches (bits/node curve in metrics.jsonl): drawn
+    # from cfg.data.val_root shards if given, else from a differently-seeded
+    # pass over the training shards
+    val_batches = None
+    n_val = int(cfg.data.get("val_batches", 4))
+    if n_val:
+        from scp_tpu.train.data import ShardDataset
+
+        val_ds = ShardDataset(
+            root=str(cfg.data.get("val_root") or cfg.data.root),
+            context_size=cfg.data.context_size,
+            batch_size=cfg.data.batch_size,
+            mode=dataset.mode,
+            vari_data_len=False,
+            seed=seed + 1,
+        )
+        gen = val_ds.batches()
+        val_batches = [next(gen) for _ in range(n_val)]
+
     if args.run_dir:
         run_dir = args.run_dir
     else:
@@ -51,7 +70,7 @@ def main(argv=None):
         )
     print("saving in", run_dir)
     print("devices:", jax.devices())
-    trainer.fit(dataset, run_dir)
+    trainer.fit(dataset, run_dir, val_batches=val_batches)
 
 
 if __name__ == "__main__":

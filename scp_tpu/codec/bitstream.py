@@ -16,12 +16,12 @@ import struct
 import numpy as np
 
 _MAGIC = b"SCPT"
-_VERSION = 2
+_VERSION = 3
 
 
 @dataclasses.dataclass
 class StreamHeader:
-    n_sym: int
+    n_sym: int  # arithmetic-coder steps (2 per node in "staged" mode)
     max_level: int
     system: str  # "cart" | "cylin" | "spher"
     bin_num: int
@@ -30,6 +30,10 @@ class StreamHeader:
     qs_rho: float
     pos_mm: np.ndarray  # (L, 2) int64 per-level (min, max); empty for cart
     subtree_sizes: tuple = ()  # node counts per subtree (multi-level mode)
+    coding_mode: str = "staged"  # entropy-coding layout ("staged" | "full")
+    backend: str = ""  # XLA backend that produced the stream (determinism
+    # contract: decoding must run the same compiled programs — see
+    # scp_tpu/codec/ehem_codec.py module docstring)
 
     @property
     def angular(self) -> bool:
@@ -37,13 +41,15 @@ class StreamHeader:
 
 
 _SYSTEMS = ["cart", "cylin", "spher"]
+_MODES = ["full", "staged"]
 
 
 def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
     mm = np.asarray(header.pos_mm, dtype=np.int64).reshape(-1, 2)
     sub = np.asarray(header.subtree_sizes, dtype=np.int64)
+    backend = header.backend.encode()[:12].ljust(12, b"\0")
     head = struct.pack(
-        "<4sHQHBIdhdHH",
+        "<4sHQHBIdhdHHB12s",
         _MAGIC,
         _VERSION,
         header.n_sym,
@@ -55,16 +61,19 @@ def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
         header.qs_rho,
         mm.shape[0],
         sub.shape[0],
+        _MODES.index(header.coding_mode),
+        backend,
     )
     return head + mm.tobytes() + sub.tobytes() + payload
 
 
 def unpack_stream(blob: bytes) -> tuple[StreamHeader, bytes]:
-    fmt = "<4sHQHBIdhdHH"
+    fmt = "<4sHQHBIdhdHHB12s"
     size = struct.calcsize(fmt)
-    magic, ver, n_sym, max_level, sys_i, bin_num, z_off, clip, qs_rho, n_mm, n_sub = (
-        struct.unpack(fmt, blob[:size])
-    )
+    (
+        magic, ver, n_sym, max_level, sys_i, bin_num, z_off, clip, qs_rho,
+        n_mm, n_sub, mode_i, backend,
+    ) = struct.unpack(fmt, blob[:size])
     if magic != _MAGIC:
         raise ValueError("not an scp_tpu bitstream")
     if ver != _VERSION:
@@ -84,6 +93,8 @@ def unpack_stream(blob: bytes) -> tuple[StreamHeader, bytes]:
         qs_rho=qs_rho,
         pos_mm=mm.copy(),
         subtree_sizes=tuple(int(s) for s in sub),
+        coding_mode=_MODES[mode_i],
+        backend=backend.rstrip(b"\0").decode(),
     )
     return header, blob[off:]
 

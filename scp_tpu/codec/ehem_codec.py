@@ -9,28 +9,37 @@ What this does instead (same model semantics, bitstream order re-designed
 for the hardware):
 
   * Coding order is LEVEL-MAJOR: all group-1 symbols of a level (chunk
-    order), then all group-2 symbols.  This turns decoding into
-      phase-1 for every chunk of the level (batched device calls)
-      -> ONE batched AC decode of all group-1 symbols
-      -> phase-2 for every chunk (batched, keyed by decoded group-1)
-      -> ONE batched AC decode of all group-2 symbols,
-    i.e. 2 device dispatches x ceil(chunks/G) and 2 native AC calls per
-    level, instead of 2 dispatches + 2 Python AC loops per chunk.
+    order), then all group-2 symbols.  Decoding is batched device calls +
+    batched native AC calls per level instead of per-chunk Python loops.
   * Full 8192-node chunks are stacked on the batch axis (groups of
     `group_size`), so the MXU sees (G*8192, ...) matmuls.
   * Every shape is a power-of-two bucket -> a handful of XLA programs.
-  * The encoder runs the SAME two jitted programs as the decoder on
-    identically padded inputs, and those programs emit the quantized CDF
-    rows themselves — CDF agreement is structural, the range coder never
-    desyncs.
+  * The encoder runs the SAME jitted phase programs as the decoder on
+    identically padded inputs; quantized CDFs are produced ON DEVICE
+    inside those shared programs, so the range coder never desyncs.
+
+Two stream modes (self.mode):
+
+  * "staged" (default): each 255-way symbol is coded as two 16-way
+    nibble stages with exact conditionals (codec/staged.py).  Per node,
+    the encoder fetches only the 8-byte pre-gathered coding intervals and
+    the decoder fetches two 17-entry uint16 CDF rows (68 B) — 64x / 7.5x
+    less host-link traffic than a 255-entry CDF row, at identical rate.
+    Stream order per level: evens-hi, evens-lo, odds-hi, odds-lo (chunk
+    order within each) -> 2 serial upload round-trips per level.
+    Interval/row extraction is pure integer gathering over the shared
+    programs' uint16 outputs, so encoder/decoder agreement is structural.
+  * "full": one 255-way CDF row per node (round-1 format; kept for A/B
+    and for rate parity checks against the reference coder).
 
 The chunk-local checkerboard (even/odd within a chunk) is preserved, so
 per-symbol probabilities — and therefore bpp — are identical to the
-per-chunk ordering; only the stream permutation differs.
+reference's per-chunk ordering; only the stream permutation differs.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -44,12 +53,14 @@ from scp_tpu.codec.slices import (
     pad_rows,
     split_levels,
 )
+from scp_tpu.codec.staged import gather_cond_rows, intervals, staged_cdfs
 from scp_tpu.core.octree import occupancy_to_child_octants
 from scp_tpu.models.ehem import EHEM
+from scp_tpu.utils.profiling import StageTimers
 
 
 def logits_to_cdf(logits):
-    """Device-side softmax + 16-bit CDF quantization.
+    """Device-side softmax + 16-bit CDF quantization (full 255-way mode).
 
     float32 softmax/cumsum/scale + round-half-even + index ramp, mod 2^16
     (same construction as ac.quantize_cdf, in f32 end-to-end since TPUs
@@ -73,11 +84,6 @@ def logits_to_cdf(logits):
     return (q & 0xFFFF).astype(jnp.uint16)
 
 
-def _with_cdf(outs):
-    logits1, f1, f2 = outs
-    return logits_to_cdf(logits1), f1, f2
-
-
 class EHEMCodec:
     def __init__(
         self,
@@ -85,6 +91,7 @@ class EHEMCodec:
         variables: dict,
         context_size: int = 8192,
         group_size: int | None = None,
+        mode: str | None = None,
     ):
         self.model = model
         # Pin params on device once: checkpoint-loaded variables are host
@@ -93,26 +100,50 @@ class EHEMCodec:
         self.variables = jax.device_put(variables)
         self.context_size = context_size
         if group_size is None:
-            import os
-
-            group_size = int(os.environ.get("SCP_CODEC_GROUP", 4))
+            group_size = int(os.environ.get("SCP_CODEC_GROUP", 8))
         self.group_size = group_size
+        self.mode = mode or os.environ.get("SCP_CODEC_MODE", "staged")
+        assert self.mode in ("staged", "full"), self.mode
+        self.timers = StageTimers()
+
         # Variables are runtime arguments (not closure constants) so params
-        # stay device buffers instead of HLO constants.
-        #
-        # CDF quantization happens ON DEVICE: the phase functions return
-        # ready uint16 CDF rows (half the bytes of a float32 pdf over the
-        # host link, no host softmax/cumsum, and encoder/decoder share the
-        # same compiled program so the rows are bit-identical by
-        # construction).
-        self._phase1_fn = jax.jit(
-            lambda v, d, p: _with_cdf(model.apply(v, d, p, method=EHEM.decode_phase1))
-        )
-        self._phase2_fn = jax.jit(
-            lambda v, f1, f2, occ1: logits_to_cdf(
-                model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
+        # stay device buffers instead of HLO constants.  The encoder and
+        # decoder share these exact compiled programs — CDF agreement is
+        # structural, whatever XLA does to the float math inside.
+        if self.mode == "staged":
+            self._phase1_fn = jax.jit(
+                lambda v, d, p: self._staged_p1(v, d, p)
             )
-        )
+            self._phase2_fn = jax.jit(
+                lambda v, f1, f2, occ1: staged_cdfs(
+                    model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
+                )
+            )
+            self._gather_fn = jax.jit(gather_cond_rows)
+            self._iv_fn = jax.jit(intervals)
+        else:
+            self._phase1_fn = jax.jit(
+                lambda v, d, p: self._full_p1(v, d, p)
+            )
+            self._phase2_fn = jax.jit(
+                lambda v, f1, f2, occ1: logits_to_cdf(
+                    model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
+                )
+            )
+
+    def _staged_p1(self, v, d, p):
+        logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
+        hi1, cond1 = staged_cdfs(logits1)
+        return (hi1, cond1), f1, f2
+
+    def _full_p1(self, v, d, p):
+        logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
+        return (logits_to_cdf(logits1),), f1, f2
+
+    @property
+    def ac_symbols_per_node(self) -> int:
+        """AC steps per occupancy symbol (2 nibble stages when staged)."""
+        return 2 if self.mode == "staged" else 1
 
     # ---- batched chunk drivers ------------------------------------------
 
@@ -125,67 +156,45 @@ class EHEMCodec:
     def _phase1_level(self, d, pos):
         """Run phase 1 for every chunk of a level.
 
-        Returns (p1_rows_per_chunk, handles) where handles carry the device
-        residuals (f1, f2) per batched call for phase 2.  Device dispatch is
-        async; logits are fetched lazily per chunk.
-        """
+        Returns a list of calls [(chunk_list, outs, f1, f2, bucket)] in
+        chunk order, where `outs` is the mode-specific CDF tuple and
+        (f1, f2) carry the device residuals for phase 2.  Device dispatch
+        is async; outputs are fetched lazily."""
         csz = self.context_size
         chunks = self._level_chunks(d, pos)
         full = [(s, m) for (s, m) in chunks if m == csz]
         partial = [(s, m) for (s, m) in chunks if m < csz]
 
-        calls = []  # (chunk_list, logits_dev, f1_dev, f2_dev, bucket)
+        calls = []
         g = self.group_size
-        for i in range(0, len(full), g):
-            batch = full[i : i + g]
-            # pad short final groups with dummy chunks: one compiled program
-            # per (group_size, bucket) instead of one per batch size
-            padded = batch + [batch[0]] * (g - len(batch)) if len(full) > g else batch
-            db = np.stack([d[s : s + m] for s, m in padded])
-            pb = np.stack([pos[s : s + m] for s, m in padded])
-            logits1, f1, f2 = self._phase1_fn(self.variables, db, pb)
-            calls.append((batch, logits1, f1, f2, csz))
-        for s, m in partial:
-            b = bucket_for(m, csz)
-            dp, pp = pad_rows(d[s : s + m], pos[s : s + m], b)
-            logits1, f1, f2 = self._phase1_fn(
-                self.variables, dp[None], pp[None]
-            )
-            calls.append(([(s, m)], logits1, f1, f2, b))
+        with self.timers.stage("dispatch_p1"):
+            for i in range(0, len(full), g):
+                batch = full[i : i + g]
+                # pad short final groups with dummy chunks: one compiled
+                # program per (group_size, bucket) instead of one per size
+                padded = (
+                    batch + [batch[0]] * (g - len(batch)) if len(full) > g else batch
+                )
+                db = np.stack([d[s : s + m] for s, m in padded])
+                pb = np.stack([pos[s : s + m] for s, m in padded])
+                outs, f1, f2 = self._phase1_fn(self.variables, db, pb)
+                calls.append((batch, outs, f1, f2, csz))
+            for s, m in partial:
+                b = bucket_for(m, csz)
+                dp, pp = pad_rows(d[s : s + m], pos[s : s + m], b)
+                outs, f1, f2 = self._phase1_fn(self.variables, dp[None], pp[None])
+                calls.append(([(s, m)], outs, f1, f2, b))
         return calls
 
-    def _phase1_probs(self, calls):
-        """Fetch per-chunk group-1 quantized CDF rows in chunk order."""
-        rows = {}
-        for batch, cdf1, _f1, _f2, _b in calls:
-            host = np.asarray(cdf1)
-            for bi, (s, m) in enumerate(batch):
-                rows[s] = host[bi, : (m + 1) // 2]
-        return [rows[k] for k in sorted(rows)]
-
-    def _phase2_dispatch(self, calls, evens_by_chunk):
-        """Dispatch phase 2 for every chunk group (async)."""
-        out = []
-        for batch, _cdf1, f1, f2, b in calls:
-            occ = np.full((f1.shape[0], b // 2), 255, np.int32)  # padded batch
-            for bi, (s, m) in enumerate(batch):
-                e = evens_by_chunk[s]
-                occ[bi, : e.shape[0]] = e
-            out.append((batch, self._phase2_fn(self.variables, f1, f2, occ)))
+    @staticmethod
+    def _group_syms(batch, occ, n_lanes, width, parity):
+        """Pack per-chunk group symbols into a padded (n_lanes, width) array
+        (pad token 255)."""
+        out = np.full((n_lanes, width), 255, np.int32)
+        for bi, (s, m) in enumerate(batch):
+            sel = occ[s : s + m][parity::2]
+            out[bi, : sel.shape[0]] = sel
         return out
-
-    def _phase2_fetch(self, dispatched):
-        rows = {}
-        for batch, cdf2 in dispatched:
-            host = np.asarray(cdf2)
-            for bi, (s, m) in enumerate(batch):
-                if m // 2:
-                    rows[s] = host[bi, : m // 2]
-        return [rows[k] for k in sorted(rows)]
-
-    def _phase2_level(self, calls, evens_by_chunk):
-        """Run phase 2 for every chunk given its group-1 occupancies."""
-        return self._phase2_fetch(self._phase2_dispatch(calls, evens_by_chunk))
 
     def warmup(self, slices: LevelSlices) -> int:
         """Compile every (batch, bucket) program this cloud will use.
@@ -196,7 +205,9 @@ class EHEMCodec:
             n = slices.data[li].shape[0]
             n_full = n // csz
             if n_full:
-                shapes.add((self.group_size if n_full > self.group_size else n_full, csz))
+                shapes.add(
+                    (self.group_size if n_full > self.group_size else n_full, csz)
+                )
                 if n_full > self.group_size:
                     shapes.add((self.group_size, csz))
             if n % csz:
@@ -205,64 +216,128 @@ class EHEMCodec:
             d = np.zeros((bsz, bucket, 4, 3), np.int32)
             d[:, :, :, 2] = 255
             p = np.zeros((bsz, bucket, 3), np.float32)
-            cdf1, f1, f2 = self._phase1_fn(self.variables, d, p)
-            occ = np.full((bsz, bucket // 2), 255, np.int32)
-            cdf2 = self._phase2_fn(self.variables, f1, f2, occ)
+            outs, f1, f2 = self._phase1_fn(self.variables, d, p)
+            occ = np.full((bsz, (bucket + 1) // 2), 255, np.int32)
+            outs2 = self._phase2_fn(self.variables, f1, f2, occ)
+            if self.mode == "staged":
+                hi1, cond1 = outs
+                hi2, cond2 = outs2
+                iv1 = self._iv_fn(hi1, cond1, occ)
+                iv2 = self._iv_fn(hi2, cond2, occ[:, : bucket // 2])
+                g1 = self._gather_fn(cond1, np.zeros_like(occ))
+                g2 = self._gather_fn(cond2, np.zeros_like(occ[:, : bucket // 2]))
+                fetch = (iv1, iv2, hi1, hi2, g1, g2)
+            else:
+                fetch = (outs[0], outs2)
             # fetch every output: initializes the device->host transfer path
             # for each shape too (first-fetch costs are large on remote TPU)
-            np.asarray(cdf1), np.asarray(cdf2)
+            for x in fetch:
+                np.asarray(x)
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
 
-    def encode_chunks(self, slices: LevelSlices, timers: list | None = None):
-        """Generator of (cdf_u16_rows, sym_rows) in coding order: per level,
-        all group-1 rows (chunk order) then all group-2 rows.
-
-        Encoding has no sequential data dependency (all occupancies are
-        known), so EVERY phase-1 and phase-2 call of EVERY level is
-        dispatched up front; the fetch/emission pass then streams results
-        off the device while it is still computing deeper levels."""
-        t_start = time.time()
-        per_level = []
-        for li in range(slices.num_levels):
-            d = slices.data[li]
-            pos = slices.level_pos(li)
-            occ = d[:, -1, 2]
-            chunks = self._level_chunks(d, pos)
-            calls = self._phase1_level(d, pos)
-            evens = {s: occ[s : s + m][0::2].astype(np.int32) for s, m in chunks}
-            p2_calls = self._phase2_dispatch(calls, evens)
-            per_level.append((chunks, calls, p2_calls, occ))
-
-        for chunks, calls, p2_calls, occ in per_level:
-            p1_rows = self._phase1_probs(calls)
-            for (s, m), p1 in zip(chunks, p1_rows):
-                yield p1, occ[s : s + m][0::2].astype(np.int16)
-            p2_rows = self._phase2_fetch(p2_calls)
-            odd_chunks = [(s, m) for s, m in chunks if m // 2]
-            for (s, m), p2 in zip(odd_chunks, p2_rows):
-                yield p2, occ[s : s + m][1::2].astype(np.int16)
-        if timers is not None:
-            timers[0] += time.time() - t_start
-
-    def encode(self, slices: LevelSlices):
-        """Materialized form: (cdf_u16 row blocks, sym blocks, model_seconds)."""
-        timers = [0.0]
-        pdfs, syms = [], []
-        for p, s in self.encode_chunks(slices, timers):
-            pdfs.append(p)
-            syms.append(s)
-        return pdfs, syms, timers[0]
-
     def encode_to_stream(self, slices: LevelSlices):
-        """Streaming: CDF rows are range-coded as they are produced."""
-        timers = [0.0]
+        """Encode a sliced cloud -> (stream_bytes, bit_count, model_seconds)."""
         enc = ac.StreamingEncoder()
-        for cdf, s in self.encode_chunks(slices, timers):
-            enc.append_quantized(cdf, s)
+        elapsed = self.encode_into(enc, slices)
         stream, bits = enc.finish()
-        return stream, bits, timers[0]
+        return stream, bits, elapsed
+
+    def encode_into(self, enc: ac.StreamingEncoder, slices: LevelSlices) -> float:
+        """Encode one sliced (sub)tree into an open streaming encoder (the
+        multi-level driver feeds 3 subtrees through one AC stream, role of
+        reference encode_mullevel.py:106-146).  Returns elapsed seconds.
+
+        All device work for ALL levels is dispatched up front (encoding has
+        no sequential dependency); the emission pass streams results off
+        the device while it is still computing deeper levels."""
+        t0 = time.time()
+        if self.mode == "staged":
+            per_level = [
+                self._encode_level_staged_dispatch(li, slices)
+                for li in range(slices.num_levels)
+            ]
+            for chunks, iv_calls in per_level:
+                self._emit_level_staged(chunks, iv_calls, enc)
+        else:
+            per_level = [
+                self._encode_level_full_dispatch(li, slices)
+                for li in range(slices.num_levels)
+            ]
+            for chunks, calls, p2_calls, occ in per_level:
+                self._emit_level_full(chunks, calls, p2_calls, occ, enc)
+        return time.time() - t0
+
+    # -- staged mode --
+
+    def _encode_level_staged_dispatch(self, li, slices):
+        d = slices.data[li]
+        pos = slices.level_pos(li)
+        occ = d[:, -1, 2]
+        calls = self._phase1_level(d, pos)
+        iv_calls = []
+        with self.timers.stage("dispatch_iv"):
+            for batch, (hi1, cond1), f1, f2, b in calls:
+                lanes = hi1.shape[0]
+                evens = self._group_syms(batch, occ, lanes, (b + 1) // 2, 0)
+                odds = self._group_syms(batch, occ, lanes, b // 2, 1)
+                iv1 = self._iv_fn(hi1, cond1, evens)
+                hi2, cond2 = self._phase2_fn(self.variables, f1, f2, evens)
+                iv2 = self._iv_fn(hi2, cond2, odds)
+                iv_calls.append((batch, iv1, iv2))
+        return self._level_chunks(d, pos), iv_calls
+
+    def _emit_level_staged(self, chunks, iv_calls, enc):
+        """Fetch intervals + feed the AC in stream order:
+        evens-hi, evens-lo, odds-hi, odds-lo (chunk order within each)."""
+        ev, od = {}, {}
+        for batch, iv1, iv2 in iv_calls:
+            with self.timers.stage("fetch_iv"):
+                h1, h2 = np.asarray(iv1), np.asarray(iv2)
+            for bi, (s, m) in enumerate(batch):
+                ev[s] = h1[bi, : (m + 1) // 2]  # (ne, 2, 2)
+                od[s] = h2[bi, : m // 2]
+        starts = sorted(ev)
+        with self.timers.stage("ac_encode"):
+            enc.append_intervals(np.concatenate([ev[s][:, 0] for s in starts]))
+            enc.append_intervals(np.concatenate([ev[s][:, 1] for s in starts]))
+            od_list = [od[s] for s in starts if od[s].shape[0]]
+            if od_list:
+                enc.append_intervals(np.concatenate([o[:, 0] for o in od_list]))
+                enc.append_intervals(np.concatenate([o[:, 1] for o in od_list]))
+
+    # -- full mode --
+
+    def _encode_level_full_dispatch(self, li, slices):
+        d = slices.data[li]
+        pos = slices.level_pos(li)
+        occ = d[:, -1, 2]
+        calls = self._phase1_level(d, pos)
+        p2_calls = []
+        for batch, _outs, f1, f2, b in calls:
+            lanes = f1.shape[0]
+            evens = self._group_syms(batch, occ, lanes, (b + 1) // 2, 0)
+            p2_calls.append((batch, self._phase2_fn(self.variables, f1, f2, evens)))
+        return self._level_chunks(d, pos), calls, p2_calls, occ
+
+    def _emit_level_full(self, chunks, calls, p2_calls, occ, enc):
+        rows = {}
+        for batch, (cdf1,), _f1, _f2, _b in calls:
+            host = np.asarray(cdf1)
+            for bi, (s, m) in enumerate(batch):
+                rows[s] = host[bi, : (m + 1) // 2]
+        for s, m in chunks:
+            enc.append_quantized(rows[s], occ[s : s + m][0::2].astype(np.int16))
+        rows2 = {}
+        for batch, cdf2 in p2_calls:
+            host = np.asarray(cdf2)
+            for bi, (s, m) in enumerate(batch):
+                if m // 2:
+                    rows2[s] = host[bi, : m // 2]
+        for s, m in chunks:
+            if m // 2:
+                enc.append_quantized(rows2[s], occ[s : s + m][1::2].astype(np.int16))
 
     # ---- decode -----------------------------------------------------------
 
@@ -300,46 +375,10 @@ class EHEMCodec:
             dc = data.copy()
             dc[:, :, 0] = np.minimum(dc[:, :, 0], clip)  # level channel only
 
-            chunks = self._level_chunks(dc, pos)
-            calls = self._phase1_level(dc, pos)
-            # Stream the level: as each group's CDF rows land on the host,
-            # AC-decode its group-1 symbols (stream order == chunk order)
-            # and dispatch its phase 2 right away — the arithmetic coder and
-            # transfers overlap the device computing later groups.
-            evens_by_chunk = {}
-            p2_dispatched = []
-            for batch, cdf1, f1, f2, b in calls:
-                host = np.asarray(cdf1)
-                for bi, (s, m) in enumerate(batch):
-                    rows = host[bi, : (m + 1) // 2]
-                    evens_by_chunk[s] = dec.decode_batch_quantized(rows).astype(
-                        np.int32
-                    )
-                occ = np.full((f1.shape[0], b // 2), 255, np.int32)
-                for bi, (s, m) in enumerate(batch):
-                    e = evens_by_chunk[s]
-                    occ[bi, : e.shape[0]] = e
-                p2_dispatched.append(
-                    (batch, self._phase2_fn(self.variables, f1, f2, occ))
-                )
-
-            p2_rows = self._phase2_fetch(p2_dispatched)
-            odd_chunks = [(s, m) for s, m in chunks if m // 2]
-            if p2_rows:
-                odds_flat = dec.decode_batch_quantized(
-                    np.concatenate(p2_rows)
-                ).astype(np.int32)
+            if self.mode == "staged":
+                level_occ = self._decode_level_staged(dec, dc, pos)
             else:
-                odds_flat = np.zeros(0, np.int32)
-
-            level_occ = np.empty(n, np.int32)
-            off = 0
-            for s, m in chunks:
-                level_occ[s : s + m : 2] = evens_by_chunk[s]
-            for s, m in odd_chunks:
-                cnt = m // 2
-                level_occ[s + 1 : s + m : 2] = odds_flat[off : off + cnt]
-                off += cnt
+                level_occ = self._decode_level_full(dec, dc, pos)
 
             if ground_truth is not None:
                 want = ground_truth[decoded : decoded + n]
@@ -350,10 +389,139 @@ class EHEMCodec:
             codes.append(level_occ.astype(np.int16))
             if level == max_level:
                 break
-            data, pos_int = _expand_children(
-                data, pos_int, level_occ, level + 1, max_level
-            )
+            with self.timers.stage("expand"):
+                data, pos_int = _expand_children(
+                    data, pos_int, level_occ, level + 1, max_level
+                )
         return np.concatenate(codes)
+
+    def _decode_level_staged(self, dec, dc, pos):
+        """Staged wavefront decode of one level.
+
+        Serial structure per level: fetch hi CDFs (phase1 pre-dispatched)
+        -> AC hi -> ONE upload+gather round trip -> AC lo -> phase2 ->
+        same for odds.  Gathers for call-group k are dispatched while the
+        host is still AC-decoding group k+1's hi rows, so transfers and
+        device work overlap the (serial) arithmetic coder."""
+        chunks = self._level_chunks(dc, pos)
+        calls = self._phase1_level(dc, pos)
+
+        # evens: hi stage (+ immediate conditional-row gather dispatch)
+        hi_by_chunk = {}
+        gathers = []
+        for batch, (hi1, cond1), f1, f2, b in calls:
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(hi1)
+            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.int32)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    ne = (m + 1) // 2
+                    hi = dec.decode_batch_quantized(host[bi, :ne]).astype(np.int32)
+                    hi_by_chunk[s] = hi
+                    hi_pad[bi, :ne] = hi
+            with self.timers.stage("dispatch_gather"):
+                gathers.append(self._gather_fn(cond1, hi_pad))
+
+        # evens: lo stage -> full even occupancies -> phase-2 dispatch
+        evens_by_chunk = {}
+        p2_calls = []
+        for (batch, _outs, f1, f2, b), g in zip(calls, gathers):
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(g)
+            occ_pad = np.full((host.shape[0], host.shape[1]), 255, np.int32)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    ne = (m + 1) // 2
+                    lo = dec.decode_batch_quantized(host[bi, :ne]).astype(np.int32)
+                    occ = hi_by_chunk[s] * 16 + lo
+                    evens_by_chunk[s] = occ
+                    occ_pad[bi, :ne] = occ
+            with self.timers.stage("dispatch_p2"):
+                p2_calls.append(
+                    (batch, self._phase2_fn(self.variables, f1, f2, occ_pad))
+                )
+
+        # odds: hi stage
+        hi2_by_chunk = {}
+        gathers2 = []
+        for batch, (hi2, cond2) in p2_calls:
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(hi2)
+            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.int32)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    no = m // 2
+                    if not no:
+                        continue
+                    hi = dec.decode_batch_quantized(host[bi, :no]).astype(np.int32)
+                    hi2_by_chunk[s] = hi
+                    hi_pad[bi, :no] = hi
+            with self.timers.stage("dispatch_gather"):
+                gathers2.append(self._gather_fn(cond2, hi_pad))
+
+        # odds: lo stage
+        odds_by_chunk = {}
+        for (batch, _), g in zip(p2_calls, gathers2):
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(g)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    no = m // 2
+                    if not no:
+                        continue
+                    lo = dec.decode_batch_quantized(host[bi, :no]).astype(np.int32)
+                    odds_by_chunk[s] = hi2_by_chunk[s] * 16 + lo
+
+        n = dc.shape[0]
+        level_occ = np.empty(n, np.int32)
+        for s, m in chunks:
+            level_occ[s : s + m : 2] = evens_by_chunk[s]
+            if m // 2:
+                level_occ[s + 1 : s + m : 2] = odds_by_chunk[s]
+        return level_occ
+
+    def _decode_level_full(self, dec, dc, pos):
+        """Round-1 format: one 255-way CDF row per node."""
+        chunks = self._level_chunks(dc, pos)
+        calls = self._phase1_level(dc, pos)
+        evens_by_chunk = {}
+        p2_dispatched = []
+        for batch, (cdf1,), f1, f2, b in calls:
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(cdf1)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    rows = host[bi, : (m + 1) // 2]
+                    evens_by_chunk[s] = dec.decode_batch_quantized(rows).astype(
+                        np.int32
+                    )
+            occ = np.full((f1.shape[0], (b + 1) // 2), 255, np.int32)
+            for bi, (s, m) in enumerate(batch):
+                e = evens_by_chunk[s]
+                occ[bi, : e.shape[0]] = e
+            with self.timers.stage("dispatch_p2"):
+                p2_dispatched.append(
+                    (batch, self._phase2_fn(self.variables, f1, f2, occ))
+                )
+
+        odds_by_chunk = {}
+        for batch, cdf2 in p2_dispatched:
+            with self.timers.stage("fetch_cdf"):
+                host = np.asarray(cdf2)
+            with self.timers.stage("ac_decode"):
+                for bi, (s, m) in enumerate(batch):
+                    if m // 2:
+                        odds_by_chunk[s] = dec.decode_batch_quantized(
+                            host[bi, : m // 2]
+                        ).astype(np.int32)
+
+        n = dc.shape[0]
+        level_occ = np.empty(n, np.int32)
+        for s, m in chunks:
+            level_occ[s : s + m : 2] = evens_by_chunk[s]
+            if m // 2:
+                level_occ[s + 1 : s + m : 2] = odds_by_chunk[s]
+        return level_occ
 
 
 def _expand_children(data, pos_int, level_occ, child_level, max_level):

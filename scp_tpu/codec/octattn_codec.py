@@ -37,17 +37,33 @@ class OctAttentionCodec:
         self.variables = jax.device_put(variables)  # pin params on device
         self.csz = model.context_size
         self._fwd_fn = jax.jit(lambda v, d, p: model.apply(v, d, p))
-        self._step_fn = jax.jit(
-            lambda v, d, p, cache, t: model.apply(
-                v, d, p, cache, t, method=OctAttention.decode_step
-            )
-        )
-        self._insert_fn = jax.jit(
-            lambda v, d, p, cache, t, qs: model.apply(
-                v, d, p, cache, t, qs, method=OctAttention.decode_insert
-            ),
-            donate_argnums=(3,),
-        )
+
+        # Batched incremental engine: all chunks of a level decode in
+        # LOCKSTEP — one device dispatch per node-position over every chunk
+        # (lane axis), not one per node.  The step emits device-quantized
+        # uint16 CDF rows (512 B/lane) so one host fetch per position feeds
+        # the arithmetic coder for all lanes.
+        from scp_tpu.codec.ehem_codec import logits_to_cdf
+
+        def step_b(v, d, p, cache, t):
+            logits, qs = jax.vmap(
+                lambda dd, pp, cc: model.apply(
+                    v, dd, pp, cc, t, method=OctAttention.decode_step
+                ),
+                in_axes=(0, 0, 0),
+            )(d, p, cache)
+            return logits_to_cdf(logits), qs
+
+        def insert_b(v, d, p, cache, t, qs):
+            return jax.vmap(
+                lambda dd, pp, cc, qq: model.apply(
+                    v, dd, pp, cc, t, qq, method=OctAttention.decode_insert
+                ),
+                in_axes=(0, 0, 0, 0),
+            )(d, p, cache, qs)
+
+        self._step_fn_b = jax.jit(step_b)
+        self._insert_fn_b = jax.jit(insert_b, donate_argnums=(3,))
 
     def _fwd(self, d, p):
         return self._fwd_fn(self.variables, d, p)
@@ -145,62 +161,135 @@ class OctAttentionCodec:
     # A third window schedule absent in the reference: chunks of csz
     # consecutive nodes per level with NO pad prefix; each node costs one
     # cached-attention step (O(window) per layer) + one cache insert,
-    # instead of a full O(window^2) forward.  Encoder and decoder share the
-    # same engine, so the streams are self-consistent by construction.
+    # instead of a full O(window^2) forward.  All chunks of a level run in
+    # LOCKSTEP on a lane (batch) axis, so decoding costs one device round
+    # trip per node-POSITION, not per node, and the stream order is
+    # position-major: for each position j, the symbols of every chunk in
+    # chunk order.  Encoder and decoder share the same compiled step
+    # programs, so the streams are self-consistent by construction.
+
+    @staticmethod
+    def _lane_count(c: int) -> int:
+        """Bucket the lane axis to powers of two for program reuse."""
+        lanes = 1
+        while lanes < c:
+            lanes *= 2
+        return lanes
+
+    def _init_cache_b(self, lanes: int):
+        w, d = self.csz, self.model.embed_dim
+        l = self.model.num_layers
+        z = np.zeros((lanes, l, w, d), np.float32)
+        return {"k": jax.device_put(z), "v": jax.device_put(z)}
 
     def _incremental_level(self, data, pos, occ_or_decoder, decode: bool,
                            elapsed_box=None):
         """Run one level; occ_or_decoder is the true occupancies (encode)
-        or an ArithmeticDecoder (decode).  Returns (pdf_rows, symbols)."""
+        or an ArithmeticDecoder (decode).  Returns (cdf_rows_u16, symbols)
+        in position-major stream order."""
         n = data.shape[0]
-        pdf_rows = np.empty((n, self.model.token_num), np.float32)
-        syms = np.empty(n, np.int32)
-        for start in range(0, n, self.csz):
-            m = min(self.csz, n - start)
-            cache = self.model.apply(
-                self.variables, method=OctAttention.init_cache
+        k = data.shape[1]
+        n_chunks = -(-n // self.csz)
+        lanes = self._lane_count(n_chunks)
+        max_m = min(self.csz, n)
+        cache = self._init_cache_b(lanes)
+
+        rows_out, syms_out = [], []
+        pending = []  # encode: (handle, active_lanes) fetched after the loop
+        for j in range(max_m):
+            active = [c for c in range(n_chunks) if c * self.csz + j < n]
+            d_j = np.zeros((lanes, k, 3), np.int32)
+            d_j[:, :, 0] = _PAD_OCC
+            p_j = np.zeros((lanes, k, 3), np.float32)
+            for c in active:
+                d_j[c] = data[c * self.csz + j]
+                p_j[c] = pos[c * self.csz + j]
+            t0 = time.time()
+            cdf_rows, qs = self._step_fn_b(self.variables, d_j, p_j, cache, j)
+            syms_j = np.full(lanes, _PAD_OCC, np.int32)
+            if decode:
+                host = np.asarray(cdf_rows)
+                if elapsed_box is not None:
+                    elapsed_box[0] += time.time() - t0
+                for c in active:
+                    syms_j[c] = int(
+                        occ_or_decoder.decode_batch_quantized(host[c : c + 1])[0]
+                    )
+                rows_out.append(host[active])
+            else:
+                # teacher forcing: no fetch needed inside the loop — the
+                # device pipelines every step; rows are fetched at the end
+                pending.append((cdf_rows, active))
+                for c in active:
+                    syms_j[c] = int(occ_or_decoder[c * self.csz + j])
+            syms_out.append(syms_j[active])
+            d_known = d_j.copy()
+            d_known[:, -1, 0] = syms_j
+            t0 = time.time()
+            cache = self._insert_fn_b(
+                self.variables, d_known, p_j, cache, j, qs
             )
-            for j in range(m):
-                i = start + j
-                d_t = data[i].astype(np.int32)
-                p_t = pos[i].astype(np.float32)
-                t0 = time.time()
-                logits, qs = self._step_fn(
-                    self.variables, d_t, p_t, cache, j
-                )
-                pdf = softmax_np(np.asarray(logits))
-                if elapsed_box is not None:
-                    elapsed_box[0] += time.time() - t0
-                pdf_rows[i] = pdf
-                if decode:
-                    sym = int(occ_or_decoder.decode_batch(pdf[None])[0])
-                else:
-                    sym = int(occ_or_decoder[i])
-                syms[i] = sym
-                d_known = d_t.copy()
-                d_known[-1, 0] = sym
-                t0 = time.time()
-                cache = self._insert_fn(
-                    self.variables, d_known, p_t, cache, j, qs
-                )
-                if elapsed_box is not None:
-                    elapsed_box[0] += time.time() - t0
-        return pdf_rows, syms
+            if elapsed_box is not None and decode:
+                elapsed_box[0] += time.time() - t0
+        if not decode:
+            t0 = time.time()
+            rows_out = [np.asarray(h)[active] for h, active in pending]
+            if elapsed_box is not None:
+                elapsed_box[0] += time.time() - t0
+        return (
+            np.concatenate(rows_out) if rows_out else
+            np.zeros((0, self.model.token_num + 1), np.uint16),
+            np.concatenate(syms_out) if syms_out else np.zeros(0, np.int32),
+        )
+
+    @staticmethod
+    def _position_major(values, n, csz):
+        """Reorder a BFS-(chunk-major)-ordered level array into the
+        position-major incremental stream order."""
+        n_chunks = -(-n // csz)
+        order = []
+        for j in range(min(csz, n)):
+            for c in range(n_chunks):
+                i = c * csz + j
+                if i < n:
+                    order.append(i)
+        return values[np.array(order, np.int64)]
+
+    @staticmethod
+    def _from_position_major(values, n, csz):
+        """Inverse of _position_major."""
+        n_chunks = -(-n // csz)
+        order = []
+        for j in range(min(csz, n)):
+            for c in range(n_chunks):
+                i = c * csz + j
+                if i < n:
+                    order.append(i)
+        out = np.empty_like(values)
+        out[np.array(order, np.int64)] = values
+        return out
 
     def encode_incremental(self, ctx: np.ndarray):
+        """-> (cdf_rows_u16, syms, seconds) in incremental stream order
+        (position-major per level)."""
         levels, occ_stream, _ = self.split_levels(ctx)
-        pdfs = []
+        rows_all, syms_all = [], []
         elapsed = [0.0]
         off = 0
         for data, pos in levels:
             n = data.shape[0]
-            pdf_rows, _ = self._incremental_level(
+            rows, syms = self._incremental_level(
                 data, pos, occ_stream[off : off + n], decode=False,
                 elapsed_box=elapsed,
             )
-            pdfs.append(pdf_rows)
+            rows_all.append(rows)
+            syms_all.append(syms)
             off += n
-        return np.concatenate(pdfs), occ_stream, elapsed[0]
+        return (
+            np.concatenate(rows_all),
+            np.concatenate(syms_all).astype(np.int16),
+            elapsed[0],
+        )
 
     def decode_incremental(
         self,
@@ -222,7 +311,8 @@ class OctAttentionCodec:
             data = np.concatenate([anc_d, self_d], axis=1)
             pos_int = np.concatenate([anc_p, self_p], axis=1)
             pos = pos_int.astype(np.float32) * inv_scale
-            _, level_occ = self._incremental_level(data, pos, dec, decode=True)
+            _, occ_pm = self._incremental_level(data, pos, dec, decode=True)
+            level_occ = self._from_position_major(occ_pm, data.shape[0], self.csz)
             if ground_truth is not None:
                 want = ground_truth[decoded : decoded + len(level_occ)]
                 assert (want == level_occ.astype(np.int16)).all(), (

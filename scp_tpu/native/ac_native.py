@@ -57,6 +57,12 @@ def _lib():
         lib.ac_encoder_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.ac_encoder_free.restype = None
         lib.ac_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.ac_encoder_append_intervals.restype = None
+        lib.ac_encoder_append_intervals.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.ac_encoder_append_pdf.restype = None
         lib.ac_encoder_append_pdf.argtypes = [
             ctypes.c_void_p,
@@ -119,6 +125,15 @@ class NativeEncoder:
             m,
             lp,
             syms.ctypes.data_as(ctypes.c_void_p),
+        )
+
+    def append_intervals(self, iv_u16: np.ndarray):
+        """Append pre-gathered (c_low, c_high) interval pairs (m, 2) u16;
+        c_high == 0 means the wrapped CDF top 2^16."""
+        iv_u16 = np.ascontiguousarray(iv_u16, dtype=np.uint16)
+        m = iv_u16.shape[0]
+        self._lib.ac_encoder_append_intervals(
+            self._h, iv_u16.ctypes.data_as(ctypes.c_void_p), m
         )
 
     def append_pdf(self, pdf_f32: np.ndarray, syms: np.ndarray):

@@ -213,6 +213,22 @@ void ac_encoder_append(void* enc_ptr, const uint16_t* cdf, int64_t m,
   }
 }
 
+// Append m pre-gathered coding intervals (m x 2 uint16: c_low, c_high).
+// A stored c_high of 0 means the wrapped CDF top (1<<16) — the only entry
+// of a strictly-increasing quantized CDF that can wrap.  This is the
+// device-side staged-coding hand-off: the symbol is known at encode time,
+// so only its interval crosses the host link (scp_tpu/codec/staged.py).
+void ac_encoder_append_intervals(void* enc_ptr, const uint16_t* iv,
+                                 int64_t m) {
+  Encoder* enc = static_cast<Encoder*>(enc_ptr);
+  for (int64_t i = 0; i < m; ++i) {
+    const uint32_t c_low = iv[2 * i];
+    uint32_t c_high = iv[2 * i + 1];
+    if (c_high == 0) c_high = kProbScale;
+    enc->encode(c_low, c_high);
+  }
+}
+
 // Append straight from float32 pdf rows (m x L): quantization fused in.
 void ac_encoder_append_pdf(void* enc_ptr, const float* pdf, int64_t m,
                            int32_t L, const int16_t* syms) {

@@ -1,0 +1,144 @@
+"""Train the committed bench checkpoint on synthetic KITTI-like LiDAR.
+
+Reproducible recipe behind `checkpoints/ehem_synth_f16.npz`, which
+bench.py loads so the headline benchmark measures a TRAINED codec (the
+reference's train recipe is configs/train_kitti_ehem.yaml:7-11; here the
+data is the synthetic sweep distribution of bench.py, which is all this
+image has — no KITTI/Ford downloads).
+
+    python -m scp_tpu.tools.train_bench_ckpt \
+        --steps 4000 --batch 8 --out checkpoints/ehem_synth_f16.npz
+
+Clouds are generated with seeds disjoint from bench.py's held-out seed 0,
+preprocessed to (N, 4, 6) shards (spherical, L16), and the full-size EHEM
+is trained bf16 + remat with Adam + StepLR.  Validation bits/node on two
+held-out batches goes to metrics.jsonl every 250 steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+
+def synth_kitti(rng, n):
+    """Same ring-structured LiDAR generator as bench.py."""
+    import numpy as np
+
+    beams = 64
+    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))[rng.integers(0, beams, n)]
+    az = rng.uniform(0, 2 * np.pi, n)
+    r = np.clip(rng.gamma(3.0, 8.0, n) + 2.0, 2.0, 120.0)
+    x = r * np.cos(el) * np.cos(az)
+    y = r * np.cos(el) * np.sin(az)
+    z = r * np.sin(el)
+    return np.stack([x, y, z], 1)
+
+
+def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int):
+    import numpy as np
+
+    from scp_tpu.core.preprocess import kitti_qs, preprocess_points
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_clouds):
+        existing = glob.glob(os.path.join(out_dir, f"cloud{i:03d}_*.npy"))
+        if existing:
+            continue
+        rng = np.random.default_rng(1000 + i)  # disjoint from bench seed 0
+        pts = synth_kitti(rng, n_points)
+        res = preprocess_points(pts, system="spher", qs=kitti_qs(lidar_level))
+        n = res.context.shape[0]
+        np.save(os.path.join(out_dir, f"cloud{i:03d}_{n}"), res.context)
+        print(f"shard {i + 1}/{n_clouds}: {n} nodes", flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--context", type=int, default=8192)
+    ap.add_argument("--clouds", type=int, default=24)
+    ap.add_argument("--points", type=int, default=120_000)
+    ap.add_argument("--lidar_level", type=int, default=16)
+    ap.add_argument("--shard_dir", default="data/synth_kitti")
+    ap.add_argument("--run_dir", default="outputs/bench_ckpt")
+    ap.add_argument("--out", default="checkpoints/ehem_synth_f16.npz")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    from scp_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    print("generating shards...", flush=True)
+    gen_shards(args.shard_dir, args.clouds, args.points, args.lidar_level)
+
+    from scp_tpu.config import load_config
+    from scp_tpu.train import checkpoints
+    from scp_tpu.train.data import ShardDataset
+    from scp_tpu.train.trainer import Trainer
+
+    cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
+    cfg.data.root = os.path.join(args.shard_dir, "*.npy")
+    cfg.data.batch_size = args.batch
+    cfg.model.context_size = args.context
+    cfg.data.context_size = args.context
+    cfg.bf16 = True
+    cfg.remat = True
+    cfg.train.log_every = 25
+    cfg.train.val_every = 250
+
+    dataset = ShardDataset(
+        root=cfg.data.root,
+        context_size=args.context,
+        batch_size=args.batch,
+        mode="ehem",
+        vari_data_len=True,
+        seed=42,
+    )
+    steps_per_epoch = dataset.steps_per_epoch()
+    epochs = max(1, -(-args.steps // steps_per_epoch))
+    cfg.train.epoch = epochs
+    print(
+        f"{len(dataset.files)} shards, {dataset.total_nodes} nodes, "
+        f"{steps_per_epoch} steps/epoch x {epochs} epochs",
+        flush=True,
+    )
+
+    # held-out validation: 2 batches from differently-seeded window order
+    val_ds = ShardDataset(
+        root=cfg.data.root, context_size=args.context, batch_size=args.batch,
+        mode="ehem", vari_data_len=False, seed=7,
+    )
+    gen = val_ds.batches()
+    val_batches = [next(gen) for _ in range(2)]
+
+    trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
+    t0 = time.time()
+    state = trainer.fit(
+        dataset, args.run_dir, epochs=epochs, resume=args.resume,
+        val_batches=val_batches,
+    )
+    print(f"training wall: {time.time() - t0:.0f}s", flush=True)
+
+    final_val = trainer.evaluate(state, val_batches)
+    print(f"final val: {final_val:.4f} bits/node", flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    import jax
+
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    checkpoints.save_params_npz(args.out, variables)
+    sz = os.path.getsize(args.out) / 1e6
+    print(f"saved {args.out} ({sz:.1f} MB)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,35 @@ def _restore_like(template: Any, saved: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, s_leaves)
 
 
+def save_params_npz(path: str, params: Any) -> None:
+    """Flatten a variables pytree (params [+ batch_stats]) into one
+    compressed .npz (float16 leaves) — a compact, git-committable
+    distribution format for bench checkpoints.  Encoder and decoder both
+    load the SAME rounded values, so the half-precision storage cannot
+    desynchronize the codec."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat = {}
+    for kp, v in leaves:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        v = np.asarray(v)
+        flat[key] = v.astype(np.float16) if v.dtype.kind == "f" else v
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of save_params_npz; float leaves come back as float32."""
+    z = np.load(path)
+    params: dict = {}
+    for key in z.files:
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        v = z[key]
+        node[parts[-1]] = v.astype(np.float32) if v.dtype.kind == "f" else v
+    return params
+
+
 def filter_compatible(pretrained: Any, reference: Any) -> Any:
     """Keep only leaves whose path+shape match the reference tree
     (the reference's partial-checkpoint warm start, ehem.py:212-222)."""

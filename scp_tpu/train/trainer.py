@@ -87,6 +87,7 @@ class Trainer:
         self.repl = NamedSharding(mesh, P())
         self.batch_shard = NamedSharding(mesh, P("data"))
         self._train_step = None
+        self._eval_step = None
 
     # -- init -----------------------------------------------------------
 
@@ -153,9 +154,48 @@ class Trainer:
         )
         return self._train_step(state, batch)
 
+    # -- validation (held-out bits/node; the reference trains blind and
+    # only discovers run quality at encode time) --------------------------
+
+    def _build_eval_step(self):
+        model, constants = self.model, self._constants
+
+        def ev(state: TrainState, batch):
+            variables = {"params": state.params, **constants}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, batch["data"], batch["pos"], train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return cross_entropy_bits(logits, batch["label"])
+
+        return jax.jit(
+            ev,
+            in_shardings=(self.repl, self.batch_shard),
+            out_shardings=self.repl,
+        )
+
+    def evaluate(self, state, val_batches) -> float:
+        """Mean held-out bits/node over a fixed batch list."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        total = 0.0
+        for batch in val_batches:
+            b = jax.device_put(
+                {k: jnp.asarray(v) for k, v in batch.items()}, self.batch_shard
+            )
+            total += float(self._eval_step(state, b))
+        return total / max(len(val_batches), 1)
+
     # -- loop -------------------------------------------------------------
 
-    def fit(self, dataset, run_dir: str, epochs: int | None = None, resume: bool = False):
+    def fit(
+        self,
+        dataset,
+        run_dir: str,
+        epochs: int | None = None,
+        resume: bool = False,
+        val_batches=None,
+    ):
         from scp_tpu.train import checkpoints as ckpt
 
         cfg = self.cfg
@@ -187,6 +227,7 @@ class Trainer:
             print(f"warm-started params from {cfg.train.load_pretrain}")
 
         log_every = int(cfg.train.get("log_every", 50))
+        val_every = int(cfg.train.get("val_every", 500))
         step = int(state.step)
         t0 = time.time()
         wandb_run = None
@@ -222,6 +263,22 @@ class Trainer:
                         print(
                             f"epoch {epoch} step {step} "
                             f"loss {loss:.4f} bits/node", flush=True
+                        )
+                    if val_batches and val_every and step % val_every == 0:
+                        val = self.evaluate(state, val_batches)
+                        rec = {
+                            "step": step,
+                            "epoch": epoch,
+                            "val_bits_per_node": val,
+                            "wall": time.time() - t0,
+                        }
+                        mf.write(json.dumps(rec) + "\n")
+                        mf.flush()
+                        if wandb_run is not None:
+                            wandb_run.log({"val_bits_per_node": val}, step=step)
+                        print(
+                            f"epoch {epoch} step {step} "
+                            f"VAL {val:.4f} bits/node", flush=True
                         )
                 if cfg.train.get("ckpt_every_epoch", True):
                     ckpt.save(run_dir, state, self._constants, epoch=epoch, step=step)

@@ -123,6 +123,45 @@ def test_tools_then_encode_decode(tmp_path, rng, tiny_run):
     )
 
 
+def test_reference_style_cache_interop(tmp_path, rng, tiny_run):
+    """A cache dir holding only `<name>.npy` + `<name>_meta.npy` (what the
+    reference's preprocessing leaves behind, encode_dataset_ehem.py:126-135)
+    must be consumable: the grid is re-derived from type/level/system."""
+    run_dir, ck = tiny_run
+    data_dir = tmp_path / "ford"
+    data_dir.mkdir()
+    lidar_ply(str(data_dir / "scanR.ply"), rng)
+
+    from scp_tpu.tools import test_gene
+
+    pre_dir = str(tmp_path / "pre_ref")
+    test_gene.main(
+        ["--type", "ford", "--ori_dir", str(data_dir / "*.ply"),
+         "--out_dir", pre_dir, "--spher", "--lidar_level", "12"]
+    )
+    # strip everything the reference would not have produced
+    for f in os.listdir(pre_dir):
+        if f.endswith("_manifest.npz"):
+            os.remove(os.path.join(pre_dir, f))
+
+    from scp_tpu.cli.codec_common import CodecSession
+
+    session = CodecSession(ck, run_dir)
+    out_dir = str(tmp_path / "out_ref")
+    stats = session.encode_file(
+        str(data_dir / "scanR.ply"), out_dir, data_type="ford",
+        lidar_level=12, system="spher", preproc_path=pre_dir + "/",
+    )
+    gt = np.load(os.path.join(pre_dir, "scanR.npy"))[:, -1, 0].astype(np.int16) - 1
+    pts, _ = session.decode_file(stats["outputfile"], ground_truth=gt)
+    quant = np.loadtxt(
+        os.path.join(pre_dir, "scanR_quant.ply"), skiprows=7, dtype=np.float64
+    )
+    np.testing.assert_allclose(
+        np.sort(pts.astype(np.float64), axis=0), np.sort(quant, axis=0), atol=1e-4
+    )
+
+
 def test_mullevel_cli_roundtrip(tmp_path, rng, tiny_run):
     """3-subtree encode through the session + decode with shared AC state
     (reference encode_mullevel.py / decode_ehem_mullevel.py surface)."""

@@ -63,11 +63,10 @@ def test_mullevel_shared_stream_roundtrip(rng):
     # one stream over all three subtrees
     enc = ac.StreamingEncoder()
     for s in subs:
-        for cdf, syms in codec.encode_chunks(s):
-            enc.append_quantized(cdf, syms)
+        codec.encode_into(enc, s)
     stream, bits = enc.finish()
 
-    n_total = sum(s.occ_stream.shape[0] for s in subs)
+    n_total = codec.ac_symbols_per_node * sum(s.occ_stream.shape[0] for s in subs)
     dec = ac.ArithmeticDecoder(stream, n_total)
     for s in subs:
         codes = codec.decode(

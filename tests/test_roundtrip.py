@@ -33,8 +33,8 @@ def lidar_like(rng, n=400):
     )
 
 
-@pytest.fixture(scope="module")
-def ehem_codec():
+@pytest.fixture(scope="module", params=["staged", "full"])
+def ehem_codec(request):
     model = EHEM(
         self_depths=(2, 2),
         cross_depths=(1,),
@@ -47,7 +47,7 @@ def ehem_codec():
     d = np.zeros((1, 8, 4, 3), np.int32)
     p = np.zeros((1, 8, 3), np.float32)
     variables = model.init(jax.random.PRNGKey(0), d, p)
-    return EHEMCodec(model, variables, context_size=64)
+    return EHEMCodec(model, variables, context_size=64, mode=request.param)
 
 
 def test_ehem_roundtrip_cartesian(rng, ehem_codec):
@@ -58,7 +58,7 @@ def test_ehem_roundtrip_cartesian(rng, ehem_codec):
     stream, bits, _ = ehem_codec.encode_to_stream(slices)
     assert bits > 0
 
-    n_sym = slices.occ_stream.shape[0]
+    n_sym = ehem_codec.ac_symbols_per_node * slices.occ_stream.shape[0]
     dec = ac.ArithmeticDecoder(stream, n_sym)
     mm = np.array(slices.pos_mm, np.int64)
     codes = ehem_codec.decode(
@@ -81,7 +81,9 @@ def test_ehem_roundtrip_spherical(rng, ehem_codec):
     res = preprocess_points(pts, system="spher", qs=60.0 / 127)
     slices = split_levels(res.context, angular=True)
     stream, bits, _ = ehem_codec.encode_to_stream(slices)
-    dec = ac.ArithmeticDecoder(stream, slices.occ_stream.shape[0])
+    dec = ac.ArithmeticDecoder(
+        stream, ehem_codec.ac_symbols_per_node * slices.occ_stream.shape[0]
+    )
     codes = ehem_codec.decode(
         dec,
         slices.max_level,
@@ -146,8 +148,10 @@ def test_octattention_incremental_roundtrip(rng):
     variables = model.init(jax.random.PRNGKey(1), d, p)
     codec = Codec(model, variables)
 
-    pdf, syms, _ = codec.encode_incremental(ctx)
-    stream, bits = ac.ArithmeticEncoder().encode(pdf, syms)
+    rows, syms, _ = codec.encode_incremental(ctx)
+    enc = ac.StreamingEncoder()
+    enc.append_quantized(rows, syms)
+    stream, bits = enc.finish()
     _, occ_stream, max_level = codec.split_levels(ctx)
     dec = ac.ArithmeticDecoder(stream, occ_stream.shape[0])
     codes = codec.decode_incremental(dec, max_level, ground_truth=occ_stream)
