@@ -91,6 +91,8 @@ def main():
     t0 = time.time()
     stream, bits, model_s = codec.encode_to_stream(slices)
     t_enc = time.time() - t0
+    print(f"# enc timers: {codec.timers.report()}", file=sys.stderr)
+    codec.timers.totals.clear(), codec.timers.counts.clear()
 
     t0 = time.time()
     dec = ac.ArithmeticDecoder(
@@ -104,6 +106,7 @@ def main():
         ground_truth=slices.occ_stream,
     )
     t_dec = time.time() - t0
+    print(f"# dec timers: {codec.timers.report()}", file=sys.stderr)
     assert (codes == slices.occ_stream).all()
 
     pps = N_POINTS / (t_enc + t_dec)

@@ -48,7 +48,6 @@ import numpy as np
 from scp_tpu import ac
 from scp_tpu.codec.slices import (
     LevelSlices,
-    bucket_for,
     normalize_positions,
     pad_rows,
     split_levels,
@@ -116,7 +115,10 @@ class EHEMCodec:
             )
             self._phase2_fn = jax.jit(
                 lambda v, f1, f2, occ1: staged_cdfs(
-                    model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
+                    model.apply(
+                        v, f1, f2, occ1.astype("int32"), False,
+                        method=EHEM.decode_phase2,
+                    )
                 )
             )
             self._gather_fn = jax.jit(gather_cond_rows)
@@ -127,16 +129,43 @@ class EHEMCodec:
             )
             self._phase2_fn = jax.jit(
                 lambda v, f1, f2, occ1: logits_to_cdf(
-                    model.apply(v, f1, f2, occ1, False, method=EHEM.decode_phase2)
+                    model.apply(
+                        v, f1, f2, occ1.astype("int32"), False,
+                        method=EHEM.decode_phase2,
+                    )
                 )
             )
 
+    # Host->device payload compaction: the context channels (level, octant,
+    # occupancy incl. the 255 pad token) all fit uint8 and positions are
+    # normalized to [0, 1) with exactly-representable 1/65536 steps, so the
+    # per-node upload is 18 B instead of 60 B (the tunnel's uplink is as
+    # scarce as its downlink).  Encoder and decoder share both the host
+    # packing and the on-device unpacking, so the float inputs stay
+    # bit-identical on both sides.
+
+    @staticmethod
+    def _pack_data(d: np.ndarray) -> np.ndarray:
+        return d.astype(np.uint8)
+
+    @staticmethod
+    def _pack_pos(p: np.ndarray) -> np.ndarray:
+        return np.round(np.clip(p, 0.0, 1.0) * 65535.0).astype(np.uint16)
+
     def _staged_p1(self, v, d, p):
+        import jax.numpy as jnp
+
+        d = d.astype(jnp.int32)
+        p = p.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
         logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
         hi1, cond1 = staged_cdfs(logits1)
         return (hi1, cond1), f1, f2
 
     def _full_p1(self, v, d, p):
+        import jax.numpy as jnp
+
+        d = d.astype(jnp.int32)
+        p = p.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
         logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
         return (logits_to_cdf(logits1),), f1, f2
 
@@ -153,13 +182,24 @@ class EHEMCodec:
         n = d.shape[0]
         return [(s, min(csz, n - s)) for s in range(0, n, csz)]
 
+    @property
+    def _small_bucket(self) -> int:
+        # one sub-chunk bucket bounds pad waste on small levels while
+        # keeping the compiled-shape set tiny (XLA compiles on the tunnel
+        # cost ~40s per program; every extra shape is a real warmup cost)
+        return max(32, self.context_size // 8)
+
     def _phase1_level(self, d, pos):
         """Run phase 1 for every chunk of a level.
 
         Returns a list of calls [(chunk_list, outs, f1, f2, bucket)] in
         chunk order, where `outs` is the mode-specific CDF tuple and
         (f1, f2) carry the device residuals for phase 2.  Device dispatch
-        is async; outputs are fetched lazily."""
+        is async; outputs are fetched lazily.
+
+        Shape discipline: every call is one of THREE shapes —
+        (group_size, csz) for grouped full chunks, (1, csz) for leftover
+        full chunks / large partials, (1, csz/8) for small levels."""
         csz = self.context_size
         chunks = self._level_chunks(d, pos)
         full = [(s, m) for (s, m) in chunks if m == csz]
@@ -168,21 +208,22 @@ class EHEMCodec:
         calls = []
         g = self.group_size
         with self.timers.stage("dispatch_p1"):
-            for i in range(0, len(full), g):
+            n_grouped = (len(full) // g) * g
+            for i in range(0, n_grouped, g):
                 batch = full[i : i + g]
-                # pad short final groups with dummy chunks: one compiled
-                # program per (group_size, bucket) instead of one per size
-                padded = (
-                    batch + [batch[0]] * (g - len(batch)) if len(full) > g else batch
-                )
-                db = np.stack([d[s : s + m] for s, m in padded])
-                pb = np.stack([pos[s : s + m] for s, m in padded])
+                db = self._pack_data(np.stack([d[s : s + m] for s, m in batch]))
+                pb = self._pack_pos(np.stack([pos[s : s + m] for s, m in batch]))
                 outs, f1, f2 = self._phase1_fn(self.variables, db, pb)
                 calls.append((batch, outs, f1, f2, csz))
-            for s, m in partial:
-                b = bucket_for(m, csz)
+            singles = full[n_grouped:] + partial
+            for s, m in singles:
+                b = self._small_bucket if m <= self._small_bucket else csz
                 dp, pp = pad_rows(d[s : s + m], pos[s : s + m], b)
-                outs, f1, f2 = self._phase1_fn(self.variables, dp[None], pp[None])
+                outs, f1, f2 = self._phase1_fn(
+                    self.variables,
+                    self._pack_data(dp[None]),
+                    self._pack_pos(pp[None]),
+                )
                 calls.append(([(s, m)], outs, f1, f2, b))
         return calls
 
@@ -190,7 +231,7 @@ class EHEMCodec:
     def _group_syms(batch, occ, n_lanes, width, parity):
         """Pack per-chunk group symbols into a padded (n_lanes, width) array
         (pad token 255)."""
-        out = np.full((n_lanes, width), 255, np.int32)
+        out = np.full((n_lanes, width), 255, np.uint8)
         for bi, (s, m) in enumerate(batch):
             sel = occ[s : s + m][parity::2]
             out[bi, : sel.shape[0]] = sel
@@ -204,20 +245,19 @@ class EHEMCodec:
         for li in range(slices.num_levels):
             n = slices.data[li].shape[0]
             n_full = n // csz
-            if n_full:
-                shapes.add(
-                    (self.group_size if n_full > self.group_size else n_full, csz)
-                )
-                if n_full > self.group_size:
-                    shapes.add((self.group_size, csz))
-            if n % csz:
-                shapes.add((1, bucket_for(n % csz, csz)))
+            if n_full >= self.group_size:
+                shapes.add((self.group_size, csz))
+            if n_full % self.group_size:
+                shapes.add((1, csz))
+            rem = n % csz
+            if rem:
+                shapes.add((1, self._small_bucket if rem <= self._small_bucket else csz))
         for bsz, bucket in sorted(shapes):
-            d = np.zeros((bsz, bucket, 4, 3), np.int32)
+            d = np.zeros((bsz, bucket, 4, 3), np.uint8)
             d[:, :, :, 2] = 255
-            p = np.zeros((bsz, bucket, 3), np.float32)
+            p = np.zeros((bsz, bucket, 3), np.uint16)
             outs, f1, f2 = self._phase1_fn(self.variables, d, p)
-            occ = np.full((bsz, (bucket + 1) // 2), 255, np.int32)
+            occ = np.full((bsz, (bucket + 1) // 2), 255, np.uint8)
             outs2 = self._phase2_fn(self.variables, f1, f2, occ)
             if self.mode == "staged":
                 hi1, cond1 = outs
@@ -412,7 +452,7 @@ class EHEMCodec:
         for batch, (hi1, cond1), f1, f2, b in calls:
             with self.timers.stage("fetch_cdf"):
                 host = np.asarray(hi1)
-            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.int32)
+            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.uint8)
             with self.timers.stage("ac_decode"):
                 for bi, (s, m) in enumerate(batch):
                     ne = (m + 1) // 2
@@ -428,7 +468,7 @@ class EHEMCodec:
         for (batch, _outs, f1, f2, b), g in zip(calls, gathers):
             with self.timers.stage("fetch_cdf"):
                 host = np.asarray(g)
-            occ_pad = np.full((host.shape[0], host.shape[1]), 255, np.int32)
+            occ_pad = np.full((host.shape[0], host.shape[1]), 255, np.uint8)
             with self.timers.stage("ac_decode"):
                 for bi, (s, m) in enumerate(batch):
                     ne = (m + 1) // 2
@@ -447,7 +487,7 @@ class EHEMCodec:
         for batch, (hi2, cond2) in p2_calls:
             with self.timers.stage("fetch_cdf"):
                 host = np.asarray(hi2)
-            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.int32)
+            hi_pad = np.zeros((host.shape[0], host.shape[1]), np.uint8)
             with self.timers.stage("ac_decode"):
                 for bi, (s, m) in enumerate(batch):
                     no = m // 2
@@ -495,7 +535,7 @@ class EHEMCodec:
                     evens_by_chunk[s] = dec.decode_batch_quantized(rows).astype(
                         np.int32
                     )
-            occ = np.full((f1.shape[0], (b + 1) // 2), 255, np.int32)
+            occ = np.full((f1.shape[0], (b + 1) // 2), 255, np.uint8)
             for bi, (s, m) in enumerate(batch):
                 e = evens_by_chunk[s]
                 occ[bi, : e.shape[0]] = e

@@ -68,6 +68,10 @@ def main(argv=None):
     ap.add_argument("--run_dir", default="outputs/bench_ckpt")
     ap.add_argument("--out", default="checkpoints/ehem_synth_f16.npz")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--small", action="store_true",
+        help="tiny model + shapes (CPU smoke test of the recipe)",
+    )
     args = ap.parse_args(argv)
 
     from scp_tpu.utils import enable_compilation_cache
@@ -83,6 +87,13 @@ def main(argv=None):
     from scp_tpu.train.trainer import Trainer
 
     cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
+    if args.small:
+        from scp_tpu.config import Config
+
+        cfg.model.swin = Config.wrap(
+            dict(embed_dim=64, self_depths=[2, 2], cross_depths=[1],
+                 num_heads=2, window_size=16, mlp_ratio=2.0)
+        )
     cfg.data.root = os.path.join(args.shard_dir, "*.npy")
     cfg.data.batch_size = args.batch
     cfg.model.context_size = args.context
