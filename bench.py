@@ -95,7 +95,7 @@ def main():
     codec.timers.totals.clear(), codec.timers.counts.clear()
 
     t0 = time.time()
-    dec = ac.ArithmeticDecoder(
+    dec = codec.new_stream_decoder(
         stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
     )
     codes = codec.decode(

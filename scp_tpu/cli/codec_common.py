@@ -213,7 +213,11 @@ class CodecSession:
         )
         angular = system in ("spher", "cylin")
 
-        enc = ac.StreamingEncoder()
+        enc = (
+            self.codec.new_stream_encoder()
+            if self.is_ehem
+            else ac.StreamingEncoder()
+        )
         sub_sizes, mms, max_levels = [], [], []
         timers = [0.0]
         for ctx, _grid in results:
@@ -243,8 +247,7 @@ class CodecSession:
                 mms.append(np.zeros((ml, 2), np.int64))
         elapsed = timers[0]
 
-        n_sym = enc.n_sym
-        payload, bits = enc.finish()
+        payload, bits, n_sym = EHEMCodec.finish_stream(enc)
 
         import jax
 
@@ -336,7 +339,11 @@ class CodecSession:
             )
         man = np.load(binfile + ".manifest.npz", allow_pickle=True)
         max_levels = man["max_levels"]
-        dec = ac.ArithmeticDecoder(payload, header.n_sym)
+        dec = (
+            self.codec.new_stream_decoder(payload, header.n_sym)
+            if self.is_ehem
+            else ac.ArithmeticDecoder(payload, header.n_sym)
+        )
 
         t0 = time.time()
         parts = []

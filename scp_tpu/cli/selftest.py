@@ -66,7 +66,7 @@ def main(argv=None):
         codec = EHEMCodec(model, variables, context_size=64)
         slices = split_levels(ctx, angular=args.system != "cart")
         stream, bits, _ = codec.encode_to_stream(slices)
-        dec = ac.ArithmeticDecoder(
+        dec = codec.new_stream_decoder(
             stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
         )
         codes = codec.decode(

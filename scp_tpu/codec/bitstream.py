@@ -30,7 +30,7 @@ class StreamHeader:
     qs_rho: float
     pos_mm: np.ndarray  # (L, 2) int64 per-level (min, max); empty for cart
     subtree_sizes: tuple = ()  # node counts per subtree (multi-level mode)
-    coding_mode: str = "staged"  # entropy-coding layout ("staged" | "full")
+    coding_mode: str = "rans"  # entropy coding ("rans" | "staged" | "full")
     backend: str = ""  # XLA backend that produced the stream (determinism
     # contract: decoding must run the same compiled programs — see
     # scp_tpu/codec/ehem_codec.py module docstring)
@@ -41,7 +41,7 @@ class StreamHeader:
 
 
 _SYSTEMS = ["cart", "cylin", "spher"]
-_MODES = ["full", "staged"]
+_MODES = ["full", "staged", "rans"]
 
 
 def pack_stream(header: StreamHeader, payload: bytes) -> bytes:

@@ -18,9 +18,17 @@ for the hardware):
     identically padded inputs; quantized CDFs are produced ON DEVICE
     inside those shared programs, so the range coder never desyncs.
 
-Two stream modes (self.mode):
+Three stream modes (self.mode):
 
-  * "staged" (default): each 255-way symbol is coded as two 16-way
+  * "rans" (default): DEVICE-SIDE interleaved rANS (codec/rans.py).  The
+    quantized CDF rows never leave HBM: the encoder gathers per-symbol
+    (cdf_low, freq) on device and fetches only the compressed byte blocks
+    (~bpp/8 B/node); the decoder's lane states live on device and the host
+    fetches ONE byte per node (the decoded occupancy) per level parity.
+    Stream order per level: all evens, then all odds (chunk order within
+    each).  Entropy coding is integer-exact on any backend; only the CDF
+    construction (shared phase programs) carries the backend contract.
+  * "staged": each 255-way symbol is coded as two 16-way
     nibble stages with exact conditionals (codec/staged.py).  Per node,
     the encoder fetches only the 8-byte pre-gathered coding intervals and
     the decoder fetches two 17-entry uint16 CDF rows (68 B) — 64x / 7.5x
@@ -41,11 +49,13 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import jax
 import numpy as np
 
 from scp_tpu import ac
+from scp_tpu.codec import rans
 from scp_tpu.codec.slices import (
     LevelSlices,
     normalize_positions,
@@ -83,6 +93,34 @@ def logits_to_cdf(logits):
     return (q & 0xFFFF).astype(jnp.uint16)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _occ_from_flat(flat, off, n_real, lanes, width):
+    """Slice a call's group-1 occupancies out of the flat decoded-symbol
+    array (device), masking positions past the real count to the pad token
+    — the device-side mirror of the host occ_pad construction."""
+    import jax.numpy as jnp
+
+    seg = jax.lax.dynamic_slice_in_dim(flat, off, lanes * width).astype(jnp.int32)
+    idx = off + jnp.arange(lanes * width, dtype=jnp.int32)
+    return jnp.where(idx < n_real, seg, 255).reshape(lanes, width)
+
+
+def _cat_pad_dev(parts, n):
+    """Concat per-call device tensors into the level-flat layout and pad the
+    leading axis to a rANS chunk multiple (padding never lands mid-stream:
+    only the last call of a level is partial)."""
+    import jax.numpy as jnp
+
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    tgt = rans.pad_to_chunk(n)
+    if flat.shape[0] > tgt:
+        flat = flat[:tgt]
+    elif flat.shape[0] < tgt:
+        pad = [(0, tgt - flat.shape[0])] + [(0, 0)] * (flat.ndim - 1)
+        flat = jnp.pad(flat, pad)
+    return flat
+
+
 class EHEMCodec:
     def __init__(
         self,
@@ -101,15 +139,32 @@ class EHEMCodec:
         if group_size is None:
             group_size = int(os.environ.get("SCP_CODEC_GROUP", 8))
         self.group_size = group_size
-        self.mode = mode or os.environ.get("SCP_CODEC_MODE", "staged")
-        assert self.mode in ("staged", "full"), self.mode
+        self.mode = mode or os.environ.get("SCP_CODEC_MODE", "rans")
+        assert self.mode in ("rans", "staged", "full"), self.mode
         self.timers = StageTimers()
 
         # Variables are runtime arguments (not closure constants) so params
         # stay device buffers instead of HLO constants.  The encoder and
         # decoder share these exact compiled programs — CDF agreement is
         # structural, whatever XLA does to the float math inside.
-        if self.mode == "staged":
+        if self.mode == "rans":
+            # decode side: full 256-entry u16 CDF rows, kept on device
+            self._phase1_fn = jax.jit(
+                lambda v, d, p: self._full_p1(v, d, p)
+            )
+            self._phase2_fn = jax.jit(
+                lambda v, f1, f2, occ1: logits_to_cdf(
+                    model.apply(
+                        v, f1, f2, occ1.astype("int32"), False,
+                        method=EHEM.decode_phase2,
+                    )
+                )
+            )
+            # encode side: symbols are already on device (inside the packed
+            # context upload) -> gather (cdf_low, freq) and never ship rows
+            self._p1_enc_fn = jax.jit(self._rans_p1_enc)
+            self._p2_enc_fn = jax.jit(self._rans_p2_enc)
+        elif self.mode == "staged":
             self._phase1_fn = jax.jit(
                 lambda v, d, p: self._staged_p1(v, d, p)
             )
@@ -169,10 +224,55 @@ class EHEMCodec:
         logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
         return (logits_to_cdf(logits1),), f1, f2
 
+    def _rans_p1_enc(self, v, d, p):
+        """Encode-side phase 1: rows stay on device; returns the group-1
+        (cdf_low, freq) gathers plus the occupancies needed downstream.
+        The trunk drops the current node's occupancy channel, so feeding
+        the true symbols here yields bit-identical features to the
+        decoder's unknown-token inputs."""
+        import jax.numpy as jnp
+
+        di = d.astype(jnp.int32)
+        pf = p.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+        logits1, f1, f2 = self.model.apply(v, di, pf, method=EHEM.decode_phase1)
+        rows1 = logits_to_cdf(logits1)
+        occ = di[:, :, -1, 2]  # (lanes, b) true occupancies (255 on pads)
+        evens, odds = occ[:, 0::2], occ[:, 1::2]
+        sf1 = rans.gather_start_freq(rows1, evens)
+        return (sf1, evens, odds), f1, f2
+
+    def _rans_p2_enc(self, v, f1, f2, evens, odds):
+        import jax.numpy as jnp
+
+        logits2 = self.model.apply(
+            v, f1, f2, evens.astype(jnp.int32), False, method=EHEM.decode_phase2
+        )
+        return rans.gather_start_freq(logits_to_cdf(logits2), odds)
+
     @property
     def ac_symbols_per_node(self) -> int:
         """AC steps per occupancy symbol (2 nibble stages when staged)."""
         return 2 if self.mode == "staged" else 1
+
+    # ---- stream coder construction (mode-aware) ---------------------------
+
+    def new_stream_encoder(self):
+        return rans.RansEncoder() if self.mode == "rans" else ac.StreamingEncoder()
+
+    @staticmethod
+    def finish_stream(enc):
+        """-> (payload bytes, bit count, n_sym for the header)."""
+        if isinstance(enc, rans.RansEncoder):
+            payload = enc.finish()
+            return payload, len(payload) * 8, enc.n_symbols
+        n_sym = enc.n_sym
+        payload, bits = enc.finish()
+        return payload, bits, n_sym
+
+    def new_stream_decoder(self, payload: bytes, n_sym: int):
+        if self.mode == "rans":
+            return rans.RansDecoder(payload)
+        return ac.ArithmeticDecoder(payload, n_sym)
 
     # ---- batched chunk drivers ------------------------------------------
 
@@ -189,7 +289,7 @@ class EHEMCodec:
         # cost ~40s per program; every extra shape is a real warmup cost)
         return max(32, self.context_size // 8)
 
-    def _phase1_level(self, d, pos):
+    def _phase1_level(self, d, pos, fn=None):
         """Run phase 1 for every chunk of a level.
 
         Returns a list of calls [(chunk_list, outs, f1, f2, bucket)] in
@@ -200,6 +300,8 @@ class EHEMCodec:
         Shape discipline: every call is one of THREE shapes —
         (group_size, csz) for grouped full chunks, (1, csz) for leftover
         full chunks / large partials, (1, csz/8) for small levels."""
+        if fn is None:
+            fn = self._phase1_fn
         csz = self.context_size
         chunks = self._level_chunks(d, pos)
         full = [(s, m) for (s, m) in chunks if m == csz]
@@ -213,13 +315,13 @@ class EHEMCodec:
                 batch = full[i : i + g]
                 db = self._pack_data(np.stack([d[s : s + m] for s, m in batch]))
                 pb = self._pack_pos(np.stack([pos[s : s + m] for s, m in batch]))
-                outs, f1, f2 = self._phase1_fn(self.variables, db, pb)
+                outs, f1, f2 = fn(self.variables, db, pb)
                 calls.append((batch, outs, f1, f2, csz))
             singles = full[n_grouped:] + partial
             for s, m in singles:
                 b = self._small_bucket if m <= self._small_bucket else csz
                 dp, pp = pad_rows(d[s : s + m], pos[s : s + m], b)
-                outs, f1, f2 = self._phase1_fn(
+                outs, f1, f2 = fn(
                     self.variables,
                     self._pack_data(dp[None]),
                     self._pack_pos(pp[None]),
@@ -259,7 +361,18 @@ class EHEMCodec:
             outs, f1, f2 = self._phase1_fn(self.variables, d, p)
             occ = np.full((bsz, (bucket + 1) // 2), 255, np.uint8)
             outs2 = self._phase2_fn(self.variables, f1, f2, occ)
-            if self.mode == "staged":
+            if self.mode == "rans":
+                import jax.numpy as jnp
+
+                (sf1, ev, od), g1, g2 = self._p1_enc_fn(self.variables, d, p)
+                sf2 = self._p2_enc_fn(self.variables, g1, g2, ev, od)
+                ne = bsz * ((bucket + 1) // 2)
+                flat = jnp.zeros((rans.pad_to_chunk(ne),), jnp.uint8)
+                oc = _occ_from_flat(
+                    flat, jnp.int32(0), jnp.int32(ne), bsz, (bucket + 1) // 2
+                )
+                fetch = (outs[0], outs2, sf1, sf2, oc)
+            elif self.mode == "staged":
                 hi1, cond1 = outs
                 hi2, cond2 = outs2
                 iv1 = self._iv_fn(hi1, cond1, occ)
@@ -273,27 +386,50 @@ class EHEMCodec:
             # for each shape too (first-fetch costs are large on remote TPU)
             for x in fetch:
                 np.asarray(x)
+        if self.mode == "rans":
+            # compile the rANS chunk programs with a real mini roundtrip
+            # (the decoder's stream buffer is padded to a standard size, so
+            # this compile is the one the real decode reuses)
+            import jax.numpy as jnp
+
+            uniform = logits_to_cdf(jnp.zeros((rans.CHUNK, 255), jnp.float32))
+            syms = jnp.zeros((rans.CHUNK,), jnp.int32)
+            enc = rans.RansEncoder()
+            enc.append_group(rans.gather_start_freq(uniform, syms), 17)
+            dec = rans.RansDecoder(enc.finish())
+            np.asarray(dec.decode_group(uniform.astype(jnp.uint16), 17))
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
 
     def encode_to_stream(self, slices: LevelSlices):
         """Encode a sliced cloud -> (stream_bytes, bit_count, model_seconds)."""
-        enc = ac.StreamingEncoder()
+        enc = self.new_stream_encoder()
         elapsed = self.encode_into(enc, slices)
-        stream, bits = enc.finish()
+        stream, bits, _ = self.finish_stream(enc)
         return stream, bits, elapsed
 
-    def encode_into(self, enc: ac.StreamingEncoder, slices: LevelSlices) -> float:
+    def encode_into(self, enc, slices: LevelSlices) -> float:
         """Encode one sliced (sub)tree into an open streaming encoder (the
-        multi-level driver feeds 3 subtrees through one AC stream, role of
+        multi-level driver feeds 3 subtrees through one stream, role of
         reference encode_mullevel.py:106-146).  Returns elapsed seconds.
 
         All device work for ALL levels is dispatched up front (encoding has
         no sequential dependency); the emission pass streams results off
-        the device while it is still computing deeper levels."""
+        the device while it is still computing deeper levels.  In "rans"
+        mode nothing is fetched here at all — groups accumulate as device
+        arrays and the byte blocks materialize in finish_stream."""
         t0 = time.time()
-        if self.mode == "staged":
+        if self.mode == "rans":
+            per_level = [
+                self._encode_level_rans_dispatch(li, slices)
+                for li in range(slices.num_levels)
+            ]
+            for ne, no, sf_e, sf_o in per_level:
+                enc.append_group(_cat_pad_dev(sf_e, ne), ne)
+                if no:
+                    enc.append_group(_cat_pad_dev(sf_o, no), no)
+        elif self.mode == "staged":
             per_level = [
                 self._encode_level_staged_dispatch(li, slices)
                 for li in range(slices.num_levels)
@@ -308,6 +444,27 @@ class EHEMCodec:
             for chunks, calls, p2_calls, occ in per_level:
                 self._emit_level_full(chunks, calls, p2_calls, occ, enc)
         return time.time() - t0
+
+    # -- rans mode --
+
+    def _encode_level_rans_dispatch(self, li, slices):
+        """Dispatch phase 1 + 2 for one level; returns per-group device
+        (cdf_low, freq) parts.  No host fetches."""
+        d = slices.data[li]
+        pos = slices.level_pos(li)
+        n = d.shape[0]
+        ne, no = (n + 1) // 2, n // 2
+        calls = self._phase1_level(d, pos, fn=self._p1_enc_fn)
+        sf_e, sf_o = [], []
+        with self.timers.stage("dispatch_p2"):
+            for batch, (sf1, evens, odds), f1, f2, b in calls:
+                sf_e.append(sf1.reshape(-1, 2))
+                sf_o.append(
+                    self._p2_enc_fn(
+                        self.variables, f1, f2, evens, odds
+                    ).reshape(-1, 2)
+                )
+        return ne, no, sf_e, sf_o
 
     # -- staged mode --
 
@@ -415,7 +572,9 @@ class EHEMCodec:
             dc = data.copy()
             dc[:, :, 0] = np.minimum(dc[:, :, 0], clip)  # level channel only
 
-            if self.mode == "staged":
+            if self.mode == "rans":
+                level_occ = self._decode_level_rans(dec, dc, pos)
+            elif self.mode == "staged":
                 level_occ = self._decode_level_staged(dec, dc, pos)
             else:
                 level_occ = self._decode_level_full(dec, dc, pos)
@@ -434,6 +593,53 @@ class EHEMCodec:
                     data, pos_int, level_occ, level + 1, max_level
                 )
         return np.concatenate(codes)
+
+    def _decode_level_rans(self, dec, dc, pos):
+        """rANS wavefront decode of one level — entropy coding runs ON the
+        device; the only host round-trip is the final occupancy fetch
+        (1 B/node) feeding the child expansion."""
+        import jax.numpy as jnp
+
+        n = dc.shape[0]
+        ne, no = (n + 1) // 2, n // 2
+        calls = self._phase1_level(dc, pos)
+
+        with self.timers.stage("dispatch_rans"):
+            rows_e = _cat_pad_dev(
+                [c[1][0].reshape(-1, 256) for c in calls], ne
+            )
+            evens_flat = dec.decode_group(rows_e, ne)
+
+        rows2 = []
+        with self.timers.stage("dispatch_p2"):
+            for batch, _outs, f1, f2, b in calls:
+                lanes, width = f1.shape[0], (b + 1) // 2
+                occ = _occ_from_flat(
+                    evens_flat, jnp.int32(batch[0][0] // 2), jnp.int32(ne),
+                    lanes, width,
+                )
+                rows2.append(
+                    self._phase2_fn(self.variables, f1, f2, occ).reshape(-1, 256)
+                )
+
+        odds_flat = None
+        if no:
+            with self.timers.stage("dispatch_rans"):
+                rows_o = _cat_pad_dev(rows2, no)
+                odds_flat = dec.decode_group(rows_o, no)
+
+        with self.timers.stage("fetch_occ"):
+            for a in (evens_flat, odds_flat):
+                if a is not None and hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            evens = np.asarray(evens_flat)[:ne].astype(np.int32)
+            odds = np.asarray(odds_flat)[:no].astype(np.int32) if no else None
+
+        level_occ = np.empty(n, np.int32)
+        level_occ[0::2] = evens
+        if no:
+            level_occ[1::2] = odds
+        return level_occ
 
     def _decode_level_staged(self, dec, dc, pos):
         """Staged wavefront decode of one level.

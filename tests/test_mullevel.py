@@ -61,13 +61,13 @@ def test_mullevel_shared_stream_roundtrip(rng):
         subs.append(split_levels(res.context, angular=True))
 
     # one stream over all three subtrees
-    enc = ac.StreamingEncoder()
+    enc = codec.new_stream_encoder()
     for s in subs:
         codec.encode_into(enc, s)
-    stream, bits = enc.finish()
+    stream, bits, _ = codec.finish_stream(enc)
 
     n_total = codec.ac_symbols_per_node * sum(s.occ_stream.shape[0] for s in subs)
-    dec = ac.ArithmeticDecoder(stream, n_total)
+    dec = codec.new_stream_decoder(stream, n_total)
     for s in subs:
         codes = codec.decode(
             dec,

@@ -33,7 +33,7 @@ def lidar_like(rng, n=400):
     )
 
 
-@pytest.fixture(scope="module", params=["staged", "full"])
+@pytest.fixture(scope="module", params=["rans", "staged", "full"])
 def ehem_codec(request):
     model = EHEM(
         self_depths=(2, 2),
@@ -59,7 +59,7 @@ def test_ehem_roundtrip_cartesian(rng, ehem_codec):
     assert bits > 0
 
     n_sym = ehem_codec.ac_symbols_per_node * slices.occ_stream.shape[0]
-    dec = ac.ArithmeticDecoder(stream, n_sym)
+    dec = ehem_codec.new_stream_decoder(stream, n_sym)
     mm = np.array(slices.pos_mm, np.int64)
     codes = ehem_codec.decode(
         dec,
@@ -81,7 +81,7 @@ def test_ehem_roundtrip_spherical(rng, ehem_codec):
     res = preprocess_points(pts, system="spher", qs=60.0 / 127)
     slices = split_levels(res.context, angular=True)
     stream, bits, _ = ehem_codec.encode_to_stream(slices)
-    dec = ac.ArithmeticDecoder(
+    dec = ehem_codec.new_stream_decoder(
         stream, ehem_codec.ac_symbols_per_node * slices.occ_stream.shape[0]
     )
     codes = ehem_codec.decode(
