@@ -85,8 +85,23 @@ def main():
     n_progs = codec.warmup(slices)
     print(f"# warmup: {n_progs} programs in {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    codec.encode_to_stream(slices)
-    print(f"# warm pass: {time.time() - t0:.1f}s", file=sys.stderr)
+    warm_stream, _, _ = codec.encode_to_stream(slices)
+    print(f"# warm enc pass: {time.time() - t0:.1f}s", file=sys.stderr)
+    # warm decode pass: compiles the level-composition-specific programs
+    # (row-buffer assembly arities, occupancy slices) this cloud will use
+    t0 = time.time()
+    wdec = codec.new_stream_decoder(
+        warm_stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
+    )
+    codec.decode(
+        wdec,
+        slices.max_level,
+        np.array(slices.pos_mm, np.int64),
+        angular=True,
+        ground_truth=slices.occ_stream,
+    )
+    print(f"# warm dec pass: {time.time() - t0:.1f}s", file=sys.stderr)
+    codec.timers.totals.clear(), codec.timers.counts.clear()
 
     t0 = time.time()
     stream, bits, model_s = codec.encode_to_stream(slices)

@@ -371,6 +371,9 @@ class EHEMCodec:
                 oc = _occ_from_flat(
                     flat, jnp.int32(0), jnp.int32(ne), bsz, (bucket + 1) // 2
                 )
+                # live decode feeds phase 2 the int32 device occupancies
+                # from _occ_from_flat — warm THAT signature, not a host u8
+                outs2 = self._phase2_fn(self.variables, f1, f2, oc)
                 fetch = (outs[0], outs2, sf1, sf2, oc)
             elif self.mode == "staged":
                 hi1, cond1 = outs

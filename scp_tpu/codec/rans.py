@@ -163,16 +163,20 @@ def _encode_chunk(states, sf, base, n):
     states, (cb0, cb1, cnt) = jax.lax.scan(
         step, states, (sfr, ts), reverse=True
     )
-    # lay bytes out in decode order: (step asc, lane asc, byte asc)
+    # lay bytes out in decode order: (step asc, lane asc, byte asc).
+    # gather-based compaction — for output slot j, binary-search the source
+    # lane in the inclusive count prefix sum (TPU scatters serialize; a
+    # searchsorted + 2 gathers stays vectorized)
     cnt_f = cnt.reshape(-1)
-    pos = jnp.cumsum(cnt_f) - cnt_f
-    total = jnp.sum(cnt_f)
-    buf = jnp.zeros(CHUNK * 2, jnp.uint8)
-    oob = jnp.int32(CHUNK * 2)  # dropped by scatter mode="drop"
-    p0 = jnp.where(cnt_f >= 1, pos, oob)
-    p1 = jnp.where(cnt_f == 2, pos + 1, oob)
-    buf = buf.at[p0].set(cb0.reshape(-1), mode="drop")
-    buf = buf.at[p1].set(cb1.reshape(-1), mode="drop")
+    cum = jnp.cumsum(cnt_f)
+    total = cum[-1]
+    j = jnp.arange(CHUNK * 2, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    src = jnp.minimum(src, CHUNK - 1)
+    first = jnp.take(cum, src) - jnp.take(cnt_f, src)  # slot of src's byte 0
+    b0 = jnp.take(cb0.reshape(-1), src)
+    b1 = jnp.take(cb1.reshape(-1), src)
+    buf = jnp.where(j < total, jnp.where(j == first, b0, b1), 0)
     return buf, total, states
 
 
@@ -212,6 +216,13 @@ class RansEncoder:
         used = min(max((n for _, n in self.groups), default=0), K_LANES)
         head = np.asarray(states)[:used].astype("<u4").tobytes()
         out = [np.uint16(used).tobytes(), head]
+        # start every device->host copy before blocking on any (each
+        # synchronous fetch pays a full tunnel round-trip)
+        for blocks in per_group:
+            for block, total in blocks:
+                for a in (block, total):
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
         for blocks in reversed(per_group):  # forward group order
             for block, total in reversed(blocks):  # forward chunk order
                 out.append(np.asarray(block)[: int(total)].tobytes())
