@@ -19,14 +19,28 @@ from scp_tpu.ops.knn import edge_features, gather_neighbors, knn_indices  # noqa
 
 
 class EdgeConv(nn.Module):
-    """1x1 conv + BatchNorm + LeakyReLU(0.2) + max over neighbors."""
+    """1x1 conv + BatchNorm + LeakyReLU(0.2) + max over neighbors.
+
+    The edge Dense is linear, so `(nb - c, c) @ W` factors into
+    `nb @ W1 + c @ (W2 - W1)` — the matmul runs BEFORE the neighbor
+    gather.  Same function, but the (B, N, k, 2C) edge tensor never
+    materializes and the MXU work drops k-fold (the gather moves the
+    already-projected F channels instead of 2C input channels).
+    """
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, edge, train: bool):
-        h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(edge)
+    def __call__(self, feats, idx, train: bool):
+        """feats (B, N, C) node features; idx (B, N, k) neighbor indices."""
+        dense = nn.Dense(
+            self.features, use_bias=False, dtype=self.dtype, name="conv"
+        )
+        z = jnp.zeros_like(feats)
+        a = dense(jnp.concatenate([feats, z], -1))  # feats @ W1   (B, N, F)
+        bc = dense(jnp.concatenate([-feats, feats], -1))  # feats @ (W2 - W1)
+        h = gather_neighbors(a, idx) + bc[:, :, None, :]  # (B, N, k, F)
         h = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -80,10 +94,12 @@ class GeoFeatGenerator(nn.Module):
 
         k = min(self.k, n)
         pos = pos.astype(self.dtype)
-        pos1 = self.conv1(edge_features(pos, k), train)
-        pos2 = self.conv2(edge_features(jnp.concatenate([pos1, x], -1), k), train)
+        pos1 = self.conv1(pos, knn_indices(pos, k), train)
+        f2 = jnp.concatenate([pos1, x], -1)
+        pos2 = self.conv2(f2, knn_indices(f2, k), train)
         x = self.mlp2(x)
-        pos3 = self.conv3(edge_features(jnp.concatenate([pos2, x], -1), k), train)
+        f3 = jnp.concatenate([pos2, x], -1)
+        pos3 = self.conv3(f3, knn_indices(f3, k), train)
         x = self.mlp3(x)
 
         ec = self.edge_mlp1(jnp.concatenate([pos1, pos2, pos3], -1))

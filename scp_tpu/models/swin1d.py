@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -84,13 +85,20 @@ class WindowAttention1D(nn.Module):
             return t.reshape(b, nw, ww, h, hd).transpose(0, 1, 3, 2, 4)
 
         q, k, v = heads(q), heads(k), heads(v)  # (B, nW, H, W, hd)
+        # keep the (..., W, W) score/weight tensors in the compute dtype:
+        # at window 512 they dominate the block's HBM traffic, and the
+        # max-sub/exp/normalize chain fuses elementwise (f32 internally)
         scores = jnp.einsum(
-            "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.float32(hd))
-        scores = scores + rel_bias[None, None]
+            "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=self.dtype
+        ) * jnp.asarray(1.0 / np.sqrt(hd), self.dtype)
+        scores = scores + rel_bias[None, None].astype(self.dtype)
         if mask is not None:
-            scores = scores + mask[None, :, None]
-        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            scores = scores + mask[None, :, None].astype(self.dtype)
+        m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+        e = jnp.exp((scores - m).astype(jnp.float32)).astype(self.dtype)
+        attn = e / jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True).astype(
+            self.dtype
+        )
         out = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
         b, nw = out.shape[:2]
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, w, self.dim)
