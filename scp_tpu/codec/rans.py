@@ -59,7 +59,10 @@ import numpy as np
 RANS_L = jnp.uint32(1 << 23)
 HALF_L = jnp.uint32(1 << 15)  # L >> 8
 K_LANES = 1024
-CHUNK_STEPS = 16
+# 64 steps x 1024 lanes = 65536 symbols per dispatch: the scan itself costs
+# ~55us/1k symbols on a v5e chip while each dispatch carries ~8ms of
+# tunnel/runtime overhead, so chunks are sized for dispatch count, not VMEM
+CHUNK_STEPS = 64
 CHUNK = K_LANES * CHUNK_STEPS  # symbols per dispatch
 
 

@@ -24,6 +24,7 @@ trace time.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,21 +86,45 @@ class WindowAttention1D(nn.Module):
             return t.reshape(b, nw, ww, h, hd).transpose(0, 1, 3, 2, 4)
 
         q, k, v = heads(q), heads(k), heads(v)  # (B, nW, H, W, hd)
-        # keep the (..., W, W) score/weight tensors in the compute dtype:
-        # at window 512 they dominate the block's HBM traffic, and the
-        # max-sub/exp/normalize chain fuses elementwise (f32 internally)
-        scores = jnp.einsum(
-            "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=self.dtype
-        ) * jnp.asarray(1.0 / np.sqrt(hd), self.dtype)
-        scores = scores + rel_bias[None, None].astype(self.dtype)
-        if mask is not None:
-            scores = scores + mask[None, :, None].astype(self.dtype)
-        m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
-        e = jnp.exp((scores - m).astype(jnp.float32)).astype(self.dtype)
-        attn = e / jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True).astype(
-            self.dtype
-        )
-        out = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
+        b, nw = q.shape[:2]
+        from scp_tpu.ops import pallas_attn
+
+        # A/B on a v5e chip: the fused kernel MATCHES XLA's lowering of this
+        # block (60.7 vs 59.1 ms for the full self-encoder at 8x8192) — XLA
+        # already pipelines the score tensors through VMEM here.  Kept as an
+        # opt-in (SCP_PALLAS_ATTN=1) + interpret-mode tests, not the default.
+        if pallas_attn.supported(w, hd) and os.environ.get("SCP_PALLAS_ATTN"):
+            # fused kernel: the (W, W) score/exp/weight tensors live in
+            # VMEM only — at window 512 they dominate block HBM traffic
+            mask_in = (
+                mask.astype(jnp.float32)
+                if mask is not None
+                else jnp.zeros((1, w, w), jnp.float32)
+            )
+            out = pallas_attn.window_attention_fused(
+                q.reshape(b * nw, h, w, hd),
+                k.reshape(b * nw, h, w, hd),
+                v.reshape(b * nw, h, w, hd),
+                rel_bias.astype(jnp.float32),
+                mask_in,
+                1.0 / float(np.sqrt(hd)),
+            ).reshape(b, nw, h, w, hd)
+        else:
+            # keep the (..., W, W) score/weight tensors in the compute
+            # dtype; the max-sub/exp/normalize chain fuses elementwise
+            # (f32 internally)
+            scores = jnp.einsum(
+                "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=self.dtype
+            ) * jnp.asarray(1.0 / np.sqrt(hd), self.dtype)
+            scores = scores + rel_bias[None, None].astype(self.dtype)
+            if mask is not None:
+                scores = scores + mask[None, :, None].astype(self.dtype)
+            m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+            e = jnp.exp((scores - m).astype(jnp.float32)).astype(self.dtype)
+            attn = e / jnp.sum(
+                e.astype(jnp.float32), axis=-1, keepdims=True
+            ).astype(self.dtype)
+            out = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
         b, nw = out.shape[:2]
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -1,0 +1,77 @@
+"""On-chip OctAttention incremental decode measurement (VERDICT r1 task 5).
+
+Encodes + decodes a >=100k-node synthetic cloud with the batched
+incremental (KV-cache) engine: one dispatch per node-POSITION over all
+chunks of a level, not per node.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/scp_tpu_xla"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scp_tpu import ac
+from scp_tpu.codec.octattn_codec import OctAttentionCodec
+from scp_tpu.core.preprocess import kitti_qs, preprocess_points
+from scp_tpu.models.octattention import OctAttention
+from scp_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+LEVEL = 12
+
+
+def synth_kitti(rng, n):
+    beams = 64
+    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))[rng.integers(0, beams, n)]
+    az = rng.uniform(0, 2 * np.pi, n)
+    r = np.clip(rng.gamma(3.0, 8.0, n) + 2.0, 2.0, 120.0)
+    return np.stack([r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
+                     r * np.sin(el)], 1)
+
+
+rng = np.random.default_rng(0)
+pts = synth_kitti(rng, N_POINTS)
+res = preprocess_points(pts, system="spher", qs=kitti_qs(LEVEL))
+ctx = res.context
+print(f"{N_POINTS} pts -> {ctx.shape[0]} nodes at L{LEVEL}", flush=True)
+
+model = OctAttention(dtype=jnp.bfloat16)  # full-size: 600-d token, ctx 1024
+variables = model.init(
+    jax.random.PRNGKey(0),
+    np.zeros((1, 16, 4, 3), np.int32),
+    np.zeros((1, 16, 4, 3), np.float32),
+)
+codec = OctAttentionCodec(model, variables)
+
+t0 = time.time()
+rows, syms, t_model = codec.encode_incremental(ctx)
+enc = ac.StreamingEncoder()
+enc.append_quantized(rows, syms)
+stream, bits = enc.finish()
+t_enc = time.time() - t0
+print(f"warm+encode: {t_enc:.1f}s  bits/node={bits/ctx.shape[0]:.2f}", flush=True)
+
+_, occ_stream, max_level = codec.split_levels(ctx)
+dec = ac.ArithmeticDecoder(stream, occ_stream.shape[0])
+t0 = time.time()
+codes = codec.decode_incremental(dec, max_level, ground_truth=occ_stream)
+t_dec = time.time() - t0
+assert (codes == occ_stream).all()
+n = ctx.shape[0]
+print(f"DECODE OK: {t_dec:.1f}s for {n} nodes "
+      f"({n/t_dec:.0f} nodes/s, {N_POINTS/(t_enc+t_dec):.0f} pts/s enc+dec)",
+      flush=True)
+
+# steady-state encode (second pass, compiles cached)
+t0 = time.time()
+rows, syms, _ = codec.encode_incremental(ctx)
+print(f"steady encode: {time.time()-t0:.1f}s", flush=True)
