@@ -67,7 +67,8 @@ class GeoFeatGenerator(nn.Module):
         self.occ_enc = nn.Embed(256, 16, dtype=self.dtype, name="occ_enc")
         self.level_enc = nn.Embed(self.max_level, 4, dtype=self.dtype)
         self.octant_enc = nn.Embed(9, 4, dtype=self.dtype)
-        conv_cls = nn.remat(EdgeConv, static_argnums=(2,)) if self.remat else EdgeConv
+        # static arg index counts self: (feats=1, idx=2, train=3)
+        conv_cls = nn.remat(EdgeConv, static_argnums=(3,)) if self.remat else EdgeConv
         self.conv1 = conv_cls(64, dtype=self.dtype)
         self.conv2 = conv_cls(128, dtype=self.dtype)
         self.conv3 = conv_cls(256, dtype=self.dtype)

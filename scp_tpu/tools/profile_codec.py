@@ -81,24 +81,35 @@ def profile_codec(args):
     c1 = lowered.compile()
     f1_flops = _flops_of(c1)
 
-    # steady-state timings: compute + first-output fetch (axon fuses them)
+    # steady-state timings: compute + a MINIMAL output fetch (the axon
+    # backend defers execution to the first fetch).  In rans mode the CDF
+    # rows never leave the device, so fetch one row only — fetching the
+    # full tensor would charge the profile a transfer the codec never pays.
     outs, f1, f2 = codec._phase1_fn(codec.variables, d, p)
     _fetch(outs[0])
     t_p1 = _time_call(
-        lambda: _fetch(codec._phase1_fn(codec.variables, d, p)[0][0])
+        lambda: _fetch(codec._phase1_fn(codec.variables, d, p)[0][0][0, 0])
     )
     out2 = codec._phase2_fn(codec.variables, f1, f2, occ)
     _fetch(out2[0] if isinstance(out2, tuple) else out2)
-    t_p2 = _time_call(
-        lambda: _fetch(
-            codec._phase2_fn(codec.variables, f1, f2, occ)[0]
-            if codec.mode == "staged"
-            else codec._phase2_fn(codec.variables, f1, f2, occ)
-        )
-    )
+
+    def _p2_once():
+        o = codec._phase2_fn(codec.variables, f1, f2, occ)
+        if codec.mode == "staged":
+            return _fetch(o[0])
+        if codec.mode == "rans":
+            return _fetch(o[0, 0])  # one row — rows stay on device live
+        return _fetch(o)
+
+    t_p2 = _time_call(_p2_once)
 
     # transfer: re-fetch already-computed rows (pure transfer cost)
-    if codec.mode == "staged":
+    if codec.mode == "rans":
+        # decode fetches one byte per node per parity; encode only the
+        # compressed blocks — transfer is off the critical path entirely
+        t_fetch_hi, fetch_bytes = 0.0, g * csz
+        t_fetch_iv, iv_bytes = 0.0, 0
+    elif codec.mode == "staged":
         hi1, cond1 = outs
         t_fetch_hi = _time_call(lambda: _fetch(hi1))
         iv = codec._iv_fn(hi1, cond1, occ)

@@ -105,6 +105,21 @@ def test_training_reduces_loss(tmp_path, rng):
     assert min(losses[-5:]) < losses[0] - 0.5, losses
 
 
+def test_train_step_with_remat(tmp_path, rng):
+    """The bench-checkpoint recipe trains with remat=True — the rematerialized
+    blocks must accept the (traced tensors, static train flag) split."""
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    cfg.remat = True
+    ds = build_dataset(cfg)
+    trainer = Trainer(cfg, steps_per_epoch=10)
+    gen = ds.batches()
+    first = next(gen)
+    state = trainer.init_state(first)
+    state, loss = trainer.train_step(state, first)
+    assert np.isfinite(float(loss))
+
+
 def test_fit_writes_checkpoint_and_metrics(tmp_path, rng):
     root = make_shards(tmp_path, rng)
     cfg = tiny_cfg(root)
