@@ -30,7 +30,11 @@ def _top_k(scores: jnp.ndarray, k: int) -> jnp.ndarray:
     everywhere else, or with SCP_EXACT_KNN=1.
     """
     if jax.default_backend() != "cpu" and not os.environ.get("SCP_EXACT_KNN"):
-        return jax.lax.approx_max_k(scores, k)[1]
+        # SCP_KNN_RECALL trades neighbor recall for top-k unit time (the
+        # EdgeConv features are robust to approximate graphs; the stream
+        # stays decodable — the backend stamp pins the compiled programs)
+        recall = float(os.environ.get("SCP_KNN_RECALL", 0.95))
+        return jax.lax.approx_max_k(scores, k, recall_target=recall)[1]
     return jax.lax.top_k(scores, k)[1]
 
 

@@ -100,6 +100,47 @@ def test_ehem_roundtrip_spherical(rng, ehem_codec):
     )
 
 
+def test_ehem_sharded_codec_roundtrip(rng):
+    """Chunk-parallel codec over an 8-device mesh ("data" axis): grouped
+    phase calls shard their lane axis across devices; the stream must stay
+    losslessly decodable by the same sharded programs."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    model = EHEM(
+        self_depths=(2, 2),
+        cross_depths=(1,),
+        embed_dim=64,
+        num_heads=2,
+        window_size=16,
+        mlp_ratio=2.0,
+        knn_k=4,
+    )
+    d = np.zeros((1, 8, 4, 3), np.int32)
+    p = np.zeros((1, 8, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), d, p)
+    codec = EHEMCodec(
+        model, variables, context_size=64, group_size=8, mesh=mesh
+    )
+
+    pts = lidar_like(rng, n=1500)  # deepest levels span multiple group calls
+    res = preprocess_points(pts, system="spher", qs=60.0 / 127)
+    slices = split_levels(res.context, angular=True)
+    stream, bits, _ = codec.encode_to_stream(slices)
+    assert bits > 0
+
+    dec = codec.new_stream_decoder(stream, slices.occ_stream.shape[0])
+    codes = codec.decode(
+        dec,
+        slices.max_level,
+        np.array(slices.pos_mm, np.int64),
+        angular=True,
+        ground_truth=slices.occ_stream,
+    )
+    np.testing.assert_array_equal(codes, slices.occ_stream)
+
+
 def test_octattention_incremental_consistency(rng):
     """decode_step logits must match the full forward at every position."""
     import jax.numpy as jnp
