@@ -826,16 +826,16 @@ def _expand_children(data, pos_int, level_occ, child_level, max_level):
     data: (n, 4, 3) current-level contexts; returns (m, 4, 3) child
     contexts (occ unknown) + (m, 3) integer grid positions.
     """
-    filled = data.copy()
-    filled[:, -1, 2] = level_occ
     pidx, octant = occupancy_to_child_octants(level_occ + 1)
-    child_anc = filled[pidx][:, 1:, :]  # (m, 3, 3): [gp, p, self-as-parent]
     m = pidx.shape[0]
-    self_row = np.zeros((m, 1, 3), np.int32)
-    self_row[:, 0, 0] = child_level
-    self_row[:, 0, 1] = octant + 1
-    self_row[:, 0, 2] = 255
-    child_data = np.concatenate([child_anc, self_row], axis=1)
+    # single pre-allocated write (this runs on the decode critical path):
+    # ancestors shift up one slot, the parent's occupancy is now known
+    child_data = np.empty((m, 4, 3), np.int32)
+    child_data[:, 0:3] = data[pidx, 1:4]
+    child_data[:, 2, 2] = level_occ[pidx]
+    child_data[:, 3, 0] = child_level
+    child_data[:, 3, 1] = octant + 1
+    child_data[:, 3, 2] = 255
 
     unit = np.int64(1) << np.int64(max_level - child_level + 1)
     bits = np.stack(
