@@ -30,6 +30,9 @@ def get_args(argv=None):
                     help="OctAttention KV-cache window schedule")
     ap.add_argument("--mullevel", action="store_true")
     ap.add_argument("--no_check", action="store_true")
+    ap.add_argument("--bin_dir", type=str, default=None,
+                    help="bitstream directory (default: the run's "
+                    "test_output dir — pair of encode's --out_dir)")
     return ap.parse_args(argv)
 
 
@@ -42,6 +45,8 @@ def main(argv=None):
     from scp_tpu.cli.encode import resolve_run
 
     run_dir, out_dir = resolve_run(args.ckpt_path)
+    if args.bin_dir:
+        out_dir = args.bin_dir
     session = CodecSession(args.ckpt_path, run_dir)
 
     test_files = args.test_files

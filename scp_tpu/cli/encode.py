@@ -40,9 +40,18 @@ def get_args(argv=None):
 
 
 def resolve_run(ckpt_path: str):
-    """<run_dir>/ckpt/<name> -> (run_dir, test_output dir)."""
-    run_dir = ckpt_path.split("ckpt")[0].rstrip("/")
-    name = ckpt_path.split("ckpt")[-1].strip("/")
+    """<run_dir>/ckpt/<name> -> (run_dir, test_output dir).
+
+    Splits on the `ckpt` PATH COMPONENT (a run dir whose name merely
+    contains the substring, e.g. `outputs/bench_ckpt`, must not match)."""
+    parts = ckpt_path.replace(os.sep, "/").rstrip("/").split("/")
+    if "ckpt" not in parts:
+        raise SystemExit(
+            f"--ckpt_path must point inside a <run>/ckpt/ directory: {ckpt_path}"
+        )
+    i = len(parts) - 1 - parts[::-1].index("ckpt")
+    run_dir = "/".join(parts[:i]) or "."
+    name = "/".join(parts[i + 1 :])
     return run_dir, os.path.join(run_dir, "test_output", name)
 
 
