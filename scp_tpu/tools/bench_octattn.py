@@ -1,14 +1,19 @@
-"""On-chip OctAttention incremental decode measurement (VERDICT r1 task 5).
+"""On-chip OctAttention incremental codec benchmark.
 
 Encodes + decodes a >=100k-node synthetic cloud with the batched
 incremental (KV-cache) engine: one dispatch per node-POSITION over all
-chunks of a level, not per node.
+chunks of a level, not per node (the reference's sequential decoder is
+one full 1024-window forward PER NODE, decode.py:73-107).
+
+    python -m scp_tpu.tools.bench_octattn [n_points]
+
+Measured (1x TPU v5e, full-size model, untrained weights — throughput
+is weight-independent): 112,186 nodes decode losslessly in 260 s
+(431 nodes/s); encode via the same engine 259 s.
 """
 import os
 import sys
 import time
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/scp_tpu_xla"))
