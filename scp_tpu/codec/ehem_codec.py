@@ -490,12 +490,35 @@ class EHEMCodec:
 
     # -- rans mode --
 
+    # Levels this small are all chain latency and no information: code them
+    # against a fixed uniform prior (a 255-way uniform costs ~8 bits/node
+    # on a handful of nodes ≈ 0.1% of a cloud's stream) and skip the model
+    # round-trip entirely.  Encoder and decoder branch on the same n.
+    TINY_UNIFORM_MAX = 16
+
+    def _uniform_rows(self):
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_uni_rows"):
+            row = logits_to_cdf(jnp.zeros((1, 255), jnp.float32))
+            self._uni_rows = jnp.broadcast_to(
+                row, (rans.CHUNK, 256)
+            ) + jnp.zeros((1,), jnp.uint16)  # materialize once
+        return self._uni_rows
+
     def _encode_level_rans_dispatch(self, li, slices):
         """Dispatch phase 1 + 2 for one level; returns per-group device
         (cdf_low, freq) parts.  No host fetches."""
         d = slices.data[li]
         pos = slices.level_pos(li)
         n = d.shape[0]
+        if n <= self.TINY_UNIFORM_MAX:
+            syms = np.zeros(rans.CHUNK, np.int32)
+            syms[:n] = d[:, -1, 2]
+            sf = rans.gather_start_freq(
+                self._uniform_rows(), jax.device_put(syms)
+            )
+            return n, 0, [self._to_coder(sf)], []
         ne, no = (n + 1) // 2, n // 2
         calls = self._phase1_level(d, pos, fn=self._p1_enc_fn)
         sf_e, sf_o = [], []
@@ -646,6 +669,11 @@ class EHEMCodec:
         import jax.numpy as jnp
 
         n = dc.shape[0]
+        if n <= self.TINY_UNIFORM_MAX:
+            with self.timers.stage("dispatch_rans"):
+                flat = dec.decode_group(self._to_coder(self._uniform_rows()), n)
+            with self.timers.stage("fetch_occ"):
+                return np.asarray(flat)[:n].astype(np.int32)
         ne, no = (n + 1) // 2, n // 2
         calls = self._phase1_level(dc, pos)
 
@@ -654,6 +682,9 @@ class EHEMCodec:
                 [self._to_coder(c[1][0].reshape(-1, 256)) for c in calls], ne
             )
             evens_flat = dec.decode_group(rows_e, ne)
+            if hasattr(evens_flat, "copy_to_host_async"):
+                # overlap the evens transfer with the odds compute chain
+                evens_flat.copy_to_host_async()
 
         rows2 = []
         with self.timers.stage("dispatch_p2"):
