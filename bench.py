@@ -30,15 +30,12 @@ N_POINTS = int(os.environ.get("BENCH_POINTS", 120_000))
 
 
 def synth_kitti(rng, n):
-    """Ring-structured LiDAR-like sweep (64 elevation beams)."""
-    beams = 64
-    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))[rng.integers(0, beams, n)]
-    az = rng.uniform(0, 2 * np.pi, n)
-    r = np.clip(rng.gamma(3.0, 8.0, n) + 2.0, 2.0, 120.0)
-    x = r * np.cos(el) * np.cos(az)
-    y = r * np.cos(el) * np.sin(az)
-    z = r * np.sin(el)
-    return np.stack([x, y, z], 1)
+    """Ring-structured LiDAR-like sweep — single source of truth lives in
+    scp_tpu.tools.train_bench_ckpt (training, baseline harness, and the
+    OctAttention benchmark all draw from the same distribution)."""
+    from scp_tpu.tools.train_bench_ckpt import synth_kitti as gen
+
+    return gen(rng, n)
 
 
 def main():

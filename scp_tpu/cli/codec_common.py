@@ -263,6 +263,7 @@ class CodecSession:
             subtree_sizes=tuple(sub_sizes),
             coding_mode=self.codec.mode if self.is_ehem else "full",
             backend=jax.default_backend(),
+            coding_params=self.codec.coding_params() if self.is_ehem else "",
         )
         os.makedirs(out_dir, exist_ok=True)
         stem = shard_name(ori_file, data_type)
@@ -336,6 +337,20 @@ class CodecSession:
                 self.variables,
                 self.cfg.model.context_size,
                 mode=header.coding_mode,
+            )
+        if (
+            self.is_ehem
+            and header.coding_params
+            and header.coding_params != self.codec.coding_params()
+            and not os.environ.get("SCP_ALLOW_CROSS_BACKEND")
+        ):
+            # same contract as the backend stamp: these knobs change the
+            # compiled phase programs' float math -> CDFs -> coder sync
+            raise RuntimeError(
+                f"bitstream coded with {header.coding_params!r} but this "
+                f"session runs {self.codec.coding_params()!r}; set the "
+                "matching SCP_* env (or SCP_ALLOW_CROSS_BACKEND=1 to try "
+                "anyway)"
             )
         man = np.load(binfile + ".manifest.npz", allow_pickle=True)
         max_levels = man["max_levels"]

@@ -39,9 +39,10 @@ def main(argv=None):
     dataset = build_dataset(cfg)
     trainer = Trainer(cfg, steps_per_epoch=dataset.steps_per_epoch())
 
-    # held-out validation batches (bits/node curve in metrics.jsonl): drawn
-    # from cfg.data.val_root shards if given, else from a differently-seeded
-    # pass over the training shards
+    # validation batches (bits/node curve in metrics.jsonl): HELD-OUT when
+    # cfg.data.val_root points at disjoint shards; without val_root this is
+    # an IN-DISTRIBUTION check (differently-seeded pass over the training
+    # shards) — it tracks train loss and cannot detect overfitting
     val_batches = None
     n_val = int(cfg.data.get("val_batches", 4))
     if n_val:

@@ -16,7 +16,7 @@ import struct
 import numpy as np
 
 _MAGIC = b"SCPT"
-_VERSION = 3
+_VERSION = 4
 
 
 @dataclasses.dataclass
@@ -34,6 +34,9 @@ class StreamHeader:
     backend: str = ""  # XLA backend that produced the stream (determinism
     # contract: decoding must run the same compiled programs — see
     # scp_tpu/codec/ehem_codec.py module docstring)
+    coding_params: str = ""  # every knob that changes the compiled phase
+    # programs' float math (knn recall, pallas-attn, group batching);
+    # decode refuses a mismatch the same way it refuses a backend change
 
     @property
     def angular(self) -> bool:
@@ -48,8 +51,9 @@ def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
     mm = np.asarray(header.pos_mm, dtype=np.int64).reshape(-1, 2)
     sub = np.asarray(header.subtree_sizes, dtype=np.int64)
     backend = header.backend.encode()[:12].ljust(12, b"\0")
+    params = header.coding_params.encode()[:255]
     head = struct.pack(
-        "<4sHQHBIdhdHHB12s",
+        "<4sHQHBIdhdHHB12sB",
         _MAGIC,
         _VERSION,
         header.n_sym,
@@ -63,22 +67,25 @@ def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
         sub.shape[0],
         _MODES.index(header.coding_mode),
         backend,
+        len(params),
     )
-    return head + mm.tobytes() + sub.tobytes() + payload
+    return head + params + mm.tobytes() + sub.tobytes() + payload
 
 
 def unpack_stream(blob: bytes) -> tuple[StreamHeader, bytes]:
-    fmt = "<4sHQHBIdhdHHB12s"
+    fmt = "<4sHQHBIdhdHHB12sB"
     size = struct.calcsize(fmt)
     (
         magic, ver, n_sym, max_level, sys_i, bin_num, z_off, clip, qs_rho,
-        n_mm, n_sub, mode_i, backend,
+        n_mm, n_sub, mode_i, backend, n_params,
     ) = struct.unpack(fmt, blob[:size])
     if magic != _MAGIC:
         raise ValueError("not an scp_tpu bitstream")
     if ver != _VERSION:
         raise ValueError(f"unsupported stream version {ver}")
     off = size
+    params = blob[off : off + n_params].decode()
+    off += n_params
     mm = np.frombuffer(blob[off : off + 16 * n_mm], dtype=np.int64).reshape(n_mm, 2)
     off += 16 * n_mm
     sub = np.frombuffer(blob[off : off + 8 * n_sub], dtype=np.int64)
@@ -95,6 +102,7 @@ def unpack_stream(blob: bytes) -> tuple[StreamHeader, bytes]:
         subtree_sizes=tuple(int(s) for s in sub),
         coding_mode=_MODES[mode_i],
         backend=backend.rstrip(b"\0").decode(),
+        coding_params=params,
     )
     return header, blob[off:]
 

@@ -178,10 +178,18 @@ class EHEMCodec:
                     )
                 )
             )
-            # encode side: symbols are already on device (inside the packed
-            # context upload) -> gather (cdf_low, freq) and never ship rows
-            self._p1_enc_fn = jax.jit(self._rans_p1_enc)
-            self._p2_enc_fn = jax.jit(self._rans_p2_enc)
+            # encode side: the symbols are already on device (inside the
+            # packed context upload).  The encoder runs the EXACT decode
+            # programs above to produce CDF rows — one compiled program,
+            # one float behavior — and extracts (cdf_low, freq) with
+            # separate integer-only jits (exact on any backend).
+            self._sym_fn = jax.jit(
+                lambda d: (
+                    d[:, 0::2, -1, 2].astype("int32"),
+                    d[:, 1::2, -1, 2].astype("int32"),
+                )
+            )
+            self._gather_sf_fn = jax.jit(rans.gather_start_freq)
         elif self.mode == "staged":
             self._phase1_fn = jax.jit(
                 lambda v, d, p: self._staged_p1(v, d, p)
@@ -260,30 +268,15 @@ class EHEMCodec:
         logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
         return (logits_to_cdf(logits1),), f1, f2
 
-    def _rans_p1_enc(self, v, d, p):
-        """Encode-side phase 1: rows stay on device; returns the group-1
-        (cdf_low, freq) gathers plus the occupancies needed downstream.
-        The trunk drops the current node's occupancy channel, so feeding
-        the true symbols here yields bit-identical features to the
-        decoder's unknown-token inputs."""
-        import jax.numpy as jnp
-
-        di = d.astype(jnp.int32)
-        pf = p.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
-        logits1, f1, f2 = self.model.apply(v, di, pf, method=EHEM.decode_phase1)
-        rows1 = logits_to_cdf(logits1)
-        occ = di[:, :, -1, 2]  # (lanes, b) true occupancies (255 on pads)
-        evens, odds = occ[:, 0::2], occ[:, 1::2]
-        sf1 = rans.gather_start_freq(rows1, evens)
-        return (sf1, evens, odds), f1, f2
-
-    def _rans_p2_enc(self, v, f1, f2, evens, odds):
-        import jax.numpy as jnp
-
-        logits2 = self.model.apply(
-            v, f1, f2, evens.astype(jnp.int32), False, method=EHEM.decode_phase2
+    def coding_params(self) -> str:
+        """Stamp of every knob that changes the compiled phase programs'
+        float math — written to the stream header; decode refuses a
+        mismatch (same contract as the backend stamp)."""
+        return (
+            f"knn_recall={os.environ.get('SCP_KNN_RECALL', '0.85')};"
+            f"pallas_attn={1 if os.environ.get('SCP_PALLAS_ATTN') else 0};"
+            f"group={self.group_size}"
         )
-        return rans.gather_start_freq(logits_to_cdf(logits2), odds)
 
     @property
     def ac_symbols_per_node(self) -> int:
@@ -404,16 +397,16 @@ class EHEMCodec:
             if self.mode == "rans":
                 import jax.numpy as jnp
 
-                (sf1, ev, od), g1, g2 = self._p1_enc_fn(self.variables, d, p)
-                sf2 = self._p2_enc_fn(self.variables, g1, g2, ev, od)
                 ne = bsz * ((bucket + 1) // 2)
                 flat = jnp.zeros((rans.pad_to_chunk(ne),), jnp.uint8)
                 oc = _occ_from_flat(
                     flat, jnp.int32(0), jnp.int32(ne), bsz, (bucket + 1) // 2
                 )
-                # live decode feeds phase 2 the int32 device occupancies
-                # from _occ_from_flat — warm THAT signature, not a host u8
+                # both sides feed phase 2 int32 (lanes, width) occupancies
+                # — ONE compiled program, shared float behavior
                 outs2 = self._phase2_fn(self.variables, f1, f2, oc)
+                sf1 = self._gather_sf_fn(outs[0], oc)
+                sf2 = self._gather_sf_fn(outs2, oc[:, : bucket // 2])
                 fetch = (outs[0], outs2, sf1, sf2, oc)
             elif self.mode == "staged":
                 hi1, cond1 = outs
@@ -441,6 +434,41 @@ class EHEMCodec:
             enc.append_group(rans.gather_start_freq(uniform, syms), 17)
             dec = rans.RansDecoder(enc.finish())
             np.asarray(dec.decode_group(uniform.astype(jnp.uint16), 17))
+
+            # the occupancy-slice programs are parameterized by each
+            # level's flat-buffer length — compile every (flat_len, lanes,
+            # width) this cloud will hit (mirrors _phase1_level's
+            # composition)
+            csz = self.context_size
+            g = self.group_size
+            seen = set()
+            for li in range(slices.num_levels):
+                n = slices.data[li].shape[0]
+                if n <= self.TINY_UNIFORM_MAX:
+                    continue
+                comps = []
+                n_full = n // csz
+                comps += [(g, csz)] * (n_full // g)
+                comps += [(1, csz)] * (n_full % g)
+                rem = n % csz
+                if rem:
+                    comps.append(
+                        (1, self._small_bucket if rem <= self._small_bucket else csz)
+                    )
+                for half in ((n + 1) // 2, max(n // 2, 1)):
+                    pad = rans.pad_to_chunk(half)
+                    flat = jnp.zeros((pad,), jnp.uint8)
+                    for lanes, b in comps:
+                        key = (pad, lanes, (b + 1) // 2)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        np.asarray(
+                            _occ_from_flat(
+                                flat, jnp.int32(0), jnp.int32(half),
+                                lanes, (b + 1) // 2,
+                            )[0, 0]
+                        )
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
@@ -520,16 +548,32 @@ class EHEMCodec:
             )
             return n, 0, [self._to_coder(sf)], []
         ne, no = (n + 1) // 2, n // 2
-        calls = self._phase1_level(d, pos, fn=self._p1_enc_fn)
+        occ = d[:, -1, 2]
+        # the decoder's exact compiled programs produce the rows; the
+        # (cdf_low, freq) extraction is a separate integer-only jit, so
+        # encoder/decoder CDF agreement cannot drift with XLA fusion
+        calls = self._phase1_level(d, pos)
         sf_e, sf_o = [], []
         with self.timers.stage("dispatch_p2"):
-            for batch, (sf1, evens, odds), f1, f2, b in calls:
-                sf_e.append(self._to_coder(sf1.reshape(-1, 2)))
+            for batch, (rows1,), f1, f2, b in calls:
+                lanes, we = rows1.shape[0], (b + 1) // 2
+                evens = self._place(
+                    self._group_syms(batch, occ, lanes, we, 0).astype(np.int32)
+                )
+                odds = self._place(
+                    self._group_syms(batch, occ, lanes, b // 2, 1).astype(
+                        np.int32
+                    )
+                )
+                sf_e.append(
+                    self._to_coder(
+                        self._gather_sf_fn(rows1, evens).reshape(-1, 2)
+                    )
+                )
+                rows2 = self._phase2_fn(self.variables, f1, f2, evens)
                 sf_o.append(
                     self._to_coder(
-                        self._p2_enc_fn(
-                            self.variables, f1, f2, evens, odds
-                        ).reshape(-1, 2)
+                        self._gather_sf_fn(rows2, odds).reshape(-1, 2)
                     )
                 )
         return ne, no, sf_e, sf_o

@@ -179,7 +179,10 @@ class OctAttentionCodec:
     def _init_cache_b(self, lanes: int):
         w, d = self.csz, self.model.embed_dim
         l = self.model.num_layers
-        z = np.zeros((lanes, l, w, d), np.float32)
+        # cache dtype must follow the model's compute dtype: an f32 cache
+        # under a bf16 model doubles KV HBM and diverges from the full
+        # forward the consistency test certifies
+        z = np.zeros((lanes, l, w, d), np.dtype(self.model.dtype))
         return {"k": jax.device_put(z), "v": jax.device_put(z)}
 
     def _incremental_level(self, data, pos, occ_or_decoder, decode: bool,

@@ -34,14 +34,7 @@ N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
 LEVEL = 12
 
 
-def synth_kitti(rng, n):
-    beams = 64
-    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))[rng.integers(0, beams, n)]
-    az = rng.uniform(0, 2 * np.pi, n)
-    r = np.clip(rng.gamma(3.0, 8.0, n) + 2.0, 2.0, 120.0)
-    return np.stack([r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
-                     r * np.sin(el)], 1)
-
+from scp_tpu.tools.train_bench_ckpt import synth_kitti  # single source
 
 rng = np.random.default_rng(0)
 pts = synth_kitti(rng, N_POINTS)

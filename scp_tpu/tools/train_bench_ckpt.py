@@ -38,7 +38,10 @@ def synth_kitti(rng, n):
     return np.stack([x, y, z], 1)
 
 
-def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int):
+def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int,
+               seed_base: int = 1000):
+    """Seeds seed_base.. are disjoint from bench.py's held-out seed 0 and
+    from the validation clouds (seed_base 5000)."""
     import numpy as np
 
     from scp_tpu.core.preprocess import kitti_qs, preprocess_points
@@ -48,7 +51,7 @@ def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int):
         existing = glob.glob(os.path.join(out_dir, f"cloud{i:03d}_*.npy"))
         if existing:
             continue
-        rng = np.random.default_rng(1000 + i)  # disjoint from bench seed 0
+        rng = np.random.default_rng(seed_base + i)
         pts = synth_kitti(rng, n_points)
         res = preprocess_points(pts, system="spher", qs=kitti_qs(lidar_level))
         n = res.context.shape[0]
@@ -120,10 +123,13 @@ def main(argv=None):
         flush=True,
     )
 
-    # held-out validation: 2 batches from differently-seeded window order
+    # held-out validation: DISJOINT clouds (seed base 5000), not a
+    # re-shuffle of the training shards
+    val_dir = args.shard_dir.rstrip("/") + "_val"
+    gen_shards(val_dir, 2, args.points, args.lidar_level, seed_base=5000)
     val_ds = ShardDataset(
-        root=cfg.data.root, context_size=args.context, batch_size=args.batch,
-        mode="ehem", vari_data_len=False, seed=7,
+        root=os.path.join(val_dir, "*.npy"), context_size=args.context,
+        batch_size=args.batch, mode="ehem", vari_data_len=False, seed=7,
     )
     gen = val_ds.batches()
     val_batches = [next(gen) for _ in range(2)]
