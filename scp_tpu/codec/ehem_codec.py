@@ -435,40 +435,13 @@ class EHEMCodec:
             dec = rans.RansDecoder(enc.finish())
             np.asarray(dec.decode_group(uniform.astype(jnp.uint16), 17))
 
-            # the occupancy-slice programs are parameterized by each
-            # level's flat-buffer length — compile every (flat_len, lanes,
-            # width) this cloud will hit (mirrors _phase1_level's
-            # composition)
-            csz = self.context_size
-            g = self.group_size
-            seen = set()
-            for li in range(slices.num_levels):
-                n = slices.data[li].shape[0]
-                if n <= self.TINY_UNIFORM_MAX:
-                    continue
-                comps = []
-                n_full = n // csz
-                comps += [(g, csz)] * (n_full // g)
-                comps += [(1, csz)] * (n_full % g)
-                rem = n % csz
-                if rem:
-                    comps.append(
-                        (1, self._small_bucket if rem <= self._small_bucket else csz)
-                    )
-                for half in ((n + 1) // 2, max(n // 2, 1)):
-                    pad = rans.pad_to_chunk(half)
-                    flat = jnp.zeros((pad,), jnp.uint8)
-                    for lanes, b in comps:
-                        key = (pad, lanes, (b + 1) // 2)
-                        if key in seen:
-                            continue
-                        seen.add(key)
-                        np.asarray(
-                            _occ_from_flat(
-                                flat, jnp.int32(0), jnp.int32(half),
-                                lanes, (b + 1) // 2,
-                            )[0, 0]
-                        )
+            # NOTE: the occupancy-slice / row-assembly programs are
+            # additionally parameterized by each level's flat-buffer
+            # length and call composition; those small programs compile on
+            # the first decode of a given cloud shape (bench runs a warm
+            # decode pass).  Compiling them all here was measured to COST
+            # more than it saves on this backend (~20-40 s per program
+            # over the tunnel x ~40 signatures).
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
