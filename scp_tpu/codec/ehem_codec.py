@@ -178,17 +178,10 @@ class EHEMCodec:
                     )
                 )
             )
-            # encode side: the symbols are already on device (inside the
-            # packed context upload).  The encoder runs the EXACT decode
-            # programs above to produce CDF rows — one compiled program,
-            # one float behavior — and extracts (cdf_low, freq) with
-            # separate integer-only jits (exact on any backend).
-            self._sym_fn = jax.jit(
-                lambda d: (
-                    d[:, 0::2, -1, 2].astype("int32"),
-                    d[:, 1::2, -1, 2].astype("int32"),
-                )
-            )
+            # encode side runs the EXACT decode programs above to produce
+            # CDF rows — one compiled program, one float behavior — and
+            # extracts (cdf_low, freq) with a separate integer-only jit
+            # (exact on any backend).
             self._gather_sf_fn = jax.jit(rans.gather_start_freq)
         elif self.mode == "staged":
             self._phase1_fn = jax.jit(
