@@ -85,11 +85,15 @@ def logits_to_cdf(logits):
     zeros = jnp.zeros((*c.shape[:-1], 1), c.dtype)
     cdf = jnp.concatenate([zeros, c], axis=-1)
     lp = cdf.shape[-1]
-    # float32 scale (TPU has no f64): monotone -> the +ramp keeps the rows
-    # strictly increasing; encoder and decoder run this same program so the
-    # rows agree bit-for-bit.
+    # float32 scale (TPU has no f64).  XLA may lower the cumsum as a
+    # parallel prefix whose adjacent entries round in different tree
+    # orders, so round() alone can step DOWN by one — the cummax forces
+    # monotonicity and the +ramp then makes every row strictly increasing
+    # (freq >= 1 for all 255 symbols; the rANS encode divides by freq).
+    # Encoder and decoder run this same program so rows agree bit-for-bit.
     scaled = cdf * jnp.float32(65536 - (lp - 1))
-    q = jnp.round(scaled).astype(jnp.int32) + jnp.arange(lp, dtype=jnp.int32)
+    q = jax.lax.cummax(jnp.round(scaled).astype(jnp.int32), axis=scaled.ndim - 1)
+    q = q + jnp.arange(lp, dtype=jnp.int32)
     return (q & 0xFFFF).astype(jnp.uint16)
 
 
@@ -264,11 +268,16 @@ class EHEMCodec:
     def coding_params(self) -> str:
         """Stamp of every knob that changes the compiled phase programs'
         float math — written to the stream header; decode refuses a
-        mismatch (same contract as the backend stamp)."""
+        mismatch (same contract as the backend stamp).  Numeric knobs are
+        canonicalized (repr of the parsed value) so numerically identical
+        settings ("0.850" vs "0.85") stamp identically on both sides."""
+        recall = repr(float(os.environ.get("SCP_KNN_RECALL", 0.85)))
         return (
-            f"knn_recall={os.environ.get('SCP_KNN_RECALL', '0.85')};"
+            f"knn_recall={recall};"
+            f"exact_knn={1 if os.environ.get('SCP_EXACT_KNN') else 0};"
             f"pallas_attn={1 if os.environ.get('SCP_PALLAS_ATTN') else 0};"
-            f"group={self.group_size}"
+            f"group={self.group_size};"
+            f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 
     @property

@@ -104,7 +104,11 @@ window_attention_fused.defvjp(_fwd, _bwd)
 
 
 def supported(w: int, hd: int) -> bool:
-    """MXU-worthy shapes only; smaller windows stay on the XLA path."""
-    return w >= 128 and w % 128 == 0 and hd % 8 == 0 and jax.default_backend() not in (
-        "cpu",
+    """MXU-worthy shapes on a TPU backend only: the BlockSpecs pin VMEM
+    (pltpu), so any non-TPU backend must take the XLA path."""
+    return (
+        w >= 128
+        and w % 128 == 0
+        and hd % 8 == 0
+        and jax.default_backend() == "tpu"
     )
