@@ -96,6 +96,7 @@ def main():
         np.array(slices.pos_mm, np.int64),
         angular=True,
         ground_truth=slices.occ_stream,
+        level_sizes=slices.level_sizes,
     )
     print(f"# warm dec pass: {time.time() - t0:.1f}s", file=sys.stderr)
     codec.timers.totals.clear(), codec.timers.counts.clear()
@@ -121,6 +122,7 @@ def main():
             np.array(slices.pos_mm, np.int64),
             angular=True,
             ground_truth=slices.occ_stream,
+            level_sizes=slices.level_sizes,
         )
         t_dec = time.time() - t0
         print(f"# dec timers: {codec.timers.report()}", file=sys.stderr)

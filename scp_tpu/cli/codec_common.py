@@ -53,6 +53,13 @@ def level_qs(data_type: str, lidar_level: int) -> float:
     return kitti_qs(lidar_level) if data_type != "ford" else ford_qs(lidar_level)
 
 
+def _level_counts(ctx: np.ndarray, max_level: int) -> np.ndarray:
+    """Per-level node counts of one (N, 4, 6) shard for the stream header."""
+    return np.bincount(
+        ctx[:, -1, 1].astype(np.int64), minlength=max_level + 1
+    )[1 : max_level + 1].astype(np.int64)
+
+
 class CodecSession:
     def __init__(self, ckpt_path: str, run_dir: str):
         self.cfg = load_run_config(run_dir)
@@ -115,8 +122,27 @@ class CodecSession:
             morton_path=morton_path,
         )
 
+    @staticmethod
+    def _load_normals(ori_file, data_type, normals_dir):
+        """Original-cloud normals for D2 PSNR (reference pt.py:68-79 feeds
+        pc_error a normals ply via -n).  Looked up by stem in normals_dir
+        (the layout tools/gene_normals.py produces)."""
+        if not normals_dir:
+            return None
+        from scp_tpu.tools.gene_normals import read_normals_ply
+
+        for cand in (Path(ori_file).stem, shard_name(ori_file, data_type)):
+            p = os.path.join(normals_dir, cand + ".ply")
+            if os.path.exists(p):
+                _, normals = read_normals_ply(p)
+                return normals
+        raise FileNotFoundError(
+            f"no normals ply for {ori_file!r} under {normals_dir!r}"
+        )
+
     def preproc(
-        self, ori_file, data_type, lidar_level, system, preproc_path="", mullevel=False
+        self, ori_file, data_type, lidar_level, system, preproc_path="",
+        mullevel=False, normals_dir="",
     ):
         """Returns (results list, metrics dict). Uses cached shards when a
         preproc_path is supplied (reference encode_dataset_ehem.py:126-135).
@@ -160,6 +186,7 @@ class CodecSession:
                 "chamfer": float(meta[1]),
                 "z_offset": z_offset,
                 "psnr_d1": 0.0,
+                "psnr_d2": 0.0,
                 "ref_points": ref_pts,
             }
             return results, metrics
@@ -183,12 +210,14 @@ class CodecSession:
             recon = first.recon_points
 
         peak = PEAKS.get(data_type, 59.70)
-        psnr_d1, _ = d1_d2_psnr(ref_pts, recon, peak)
+        normals = self._load_normals(ori_file, data_type, normals_dir)
+        psnr_d1, psnr_d2 = d1_d2_psnr(ref_pts, recon, peak, normals=normals)
         metrics = {
             "bin_num": first.bin_num,
             "chamfer": chamfer(ref_pts.copy(), recon.copy()),
             "z_offset": first.z_offset,
             "psnr_d1": psnr_d1,
+            "psnr_d2": psnr_d2 if normals is not None else 0.0,
             "ref_points": ref_pts,
         }
         return results, metrics
@@ -207,9 +236,11 @@ class CodecSession:
         incremental=False,
         mullevel=False,
         level_wise=True,
+        normals_dir="",
     ) -> dict:
         results, metrics = self.preproc(
-            ori_file, data_type, lidar_level, system, preproc_path, mullevel
+            ori_file, data_type, lidar_level, system, preproc_path, mullevel,
+            normals_dir=normals_dir,
         )
         angular = system in ("spher", "cylin")
 
@@ -218,15 +249,23 @@ class CodecSession:
             if self.is_ehem
             else ac.StreamingEncoder()
         )
-        sub_sizes, mms, max_levels = [], [], []
+        sub_sizes, mms, max_levels, lvl_sizes = [], [], [], []
         timers = [0.0]
         for ctx, _grid in results:
             if self.is_ehem:
-                slices = split_levels(ctx, angular=angular)
-                timers[0] += self.codec.encode_into(enc, slices)
+                # deepest-level clip applied symmetrically at encode
+                # (split_levels + in-program) and decode (header stamp) —
+                # reference encode_dataset_ehem.py:86 / Embed(19) bound
+                slices = split_levels(
+                    ctx, angular=angular, lidar_level_clip=lidar_level
+                )
+                timers[0] += self.codec.encode_into(
+                    enc, slices, lidar_clip=lidar_level
+                )
                 mms.append(np.array(slices.pos_mm, np.int64))
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])
+                lvl_sizes.append(np.asarray(slices.level_sizes, np.int64))
             elif incremental:
                 rows, syms, t = self.codec.encode_incremental(ctx)
                 timers[0] += t
@@ -235,6 +274,7 @@ class CodecSession:
                 max_levels.append(ml)
                 sub_sizes.append(syms.shape[0])
                 mms.append(np.zeros((ml, 2), np.int64))
+                lvl_sizes.append(_level_counts(ctx, ml))
             else:
                 pdf, syms, t = self.codec.encode(
                     ctx, sequential=sequential, level_wise=level_wise
@@ -245,6 +285,7 @@ class CodecSession:
                 max_levels.append(ml)
                 sub_sizes.append(syms.shape[0])
                 mms.append(np.zeros((ml, 2), np.int64))
+                lvl_sizes.append(_level_counts(ctx, ml))
         elapsed = timers[0]
 
         payload, bits, n_sym = EHEMCodec.finish_stream(enc)
@@ -264,6 +305,15 @@ class CodecSession:
             coding_mode=self.codec.mode if self.is_ehem else "full",
             backend=jax.default_backend(),
             coding_params=self.codec.coding_params() if self.is_ehem else "",
+            subtree_levels=tuple(max_levels),
+            level_sizes=np.concatenate(lvl_sizes),
+            grid_qs=np.stack(
+                [np.broadcast_to(np.asarray(g.qs, np.float64), (3,)) for _, g in results]
+            ),
+            grid_offset=np.stack(
+                [np.broadcast_to(np.asarray(g.offset, np.float64), (3,)) for _, g in results]
+            ),
+            grid_bin_num=np.array([g.bin_num for _, g in results], np.int64),
         )
         os.makedirs(out_dir, exist_ok=True)
         stem = shard_name(ori_file, data_type)
@@ -297,6 +347,7 @@ class CodecSession:
             "bpp": bits / pt_num,
             "chamfer": metrics["chamfer"],
             "psnr_d1": metrics["psnr_d1"],
+            "psnr_d2": metrics.get("psnr_d2", 0.0),
         }
 
     # -- decode --------------------------------------------------------------
@@ -352,8 +403,12 @@ class CodecSession:
                 "matching SCP_* env (or SCP_ALLOW_CROSS_BACKEND=1 to try "
                 "anyway)"
             )
-        man = np.load(binfile + ".manifest.npz", allow_pickle=True)
-        max_levels = man["max_levels"]
+        # Everything the decoder needs — per-subtree grids, octree depths,
+        # per-level node counts — lives in the v5 header: a bare .bin is
+        # decodable with no sidecar (the reference needed the filename +
+        # a torch .dat; round 2 needed a .manifest.npz).
+        max_levels = header.subtree_levels
+        grids = header.grids()
         dec = (
             self.codec.new_stream_decoder(payload, header.n_sym)
             if self.is_ehem
@@ -363,11 +418,14 @@ class CodecSession:
         t0 = time.time()
         parts = []
         mm_off = 0
+        lvl_off = 0
         gt_off = 0
         for i, ml in enumerate(max_levels):
             ml = int(ml)
             mm = header.pos_mm[mm_off : mm_off + ml]
             mm_off += ml
+            sizes_i = header.level_sizes[lvl_off : lvl_off + ml]
+            lvl_off += ml
             gt = None
             if ground_truth is not None:
                 gt = ground_truth[gt_off : gt_off + int(header.subtree_sizes[i])]
@@ -378,8 +436,9 @@ class CodecSession:
                     ml,
                     mm,
                     angular=header.angular,
-                    lidar_clip=None,
+                    lidar_clip=int(header.lidar_clip),
                     ground_truth=gt,
+                    level_sizes=sizes_i,
                 )
             elif incremental:
                 codes = self.codec.decode_incremental(dec, ml, ground_truth=gt)
@@ -388,13 +447,7 @@ class CodecSession:
                     dec, ml, ground_truth=gt, sequential=sequential,
                     level_wise=level_wise,
                 )
-            grid = QuantGrid(
-                system=str(man["system"]),
-                qs=man["qs"][i],
-                offset=man["offset"][i],
-                bin_num=int(man["bin_num"][i]),
-            )
-            pts = grid.from_grid(deoctree(codes.astype(np.int64) + 1))
+            pts = grids[i].from_grid(deoctree(codes.astype(np.int64) + 1))
             parts.append(pts)
         elapsed = time.time() - t0
         out_points = np.vstack(parts).astype(np.float32)

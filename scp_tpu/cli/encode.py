@@ -35,6 +35,9 @@ def get_args(argv=None):
     ap.add_argument("--spher", action="store_true")
     ap.add_argument("--mullevel", action="store_true")
     ap.add_argument("--preproc_path", type=str, default="")
+    ap.add_argument("--normals_dir", type=str, default="",
+                    help="dir of <stem>.ply normals (tools/gene_normals) "
+                    "enabling D2 PSNR, reference pt.py:68-79 -n flag")
     ap.add_argument("--out_dir", type=str, default=None)
     return ap.parse_args(argv)
 
@@ -74,7 +77,7 @@ def main(argv=None):
         combine = True
 
     system = "spher" if args.spher else ("cylin" if args.cylin else "cart")
-    bpps, times, psnrs, chamfers = [], [], [], []
+    bpps, times, psnrs, psnrs_d2, chamfers = [], [], [], [], []
     for i, f in enumerate(test_files):
         print(f"Encoding {f} {i}/{len(test_files)}")
         stats = session.encode_file(
@@ -88,10 +91,12 @@ def main(argv=None):
             incremental=args.incremental,
             mullevel=args.mullevel,
             level_wise=args.level_wise,
+            normals_dir=args.normals_dir,
         )
         bpps.append(stats["bpp"])
         times.append(stats["seconds"])
         psnrs.append(stats["psnr_d1"])
+        psnrs_d2.append(stats["psnr_d2"])
         chamfers.append(stats["chamfer"])
         for k in ("outputfile", "seconds", "pt_num", "oct_num", "bits",
                   "bit_per_oct", "bpp"):
@@ -101,11 +106,14 @@ def main(argv=None):
         )
 
     if combine and test_files:
+        d2_line = (
+            f"PSNR_D2: {float(np.mean(psnrs_d2))}\n" if args.normals_dir else ""
+        )
         out = (
             f"same {args.lidar_level} {args.test_files} {args.ckpt_path}\n"
             f"sample number: {len(bpps)}\ntimes: {float(np.mean(times))}\n"
             f"bpp: {float(np.mean(bpps))}\nchamfer_dist: {float(np.mean(chamfers))}\n"
-            f"PSNR: {float(np.mean(psnrs))}\n\n"
+            f"PSNR: {float(np.mean(psnrs))}\n{d2_line}\n"
         )
         with open(f"test_results_same_{args.type}_{args.lidar_level}.txt", "a") as fh:
             fh.write(out)

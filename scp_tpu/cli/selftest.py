@@ -72,6 +72,7 @@ def main(argv=None):
         codes = codec.decode(
             dec, slices.max_level, np.array(slices.pos_mm, np.int64),
             angular=args.system != "cart", ground_truth=slices.occ_stream,
+            level_sizes=slices.level_sizes,
         )
         occ_stream = slices.occ_stream
     else:

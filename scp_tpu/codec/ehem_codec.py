@@ -125,6 +125,147 @@ def _cat_pad_dev(parts, n):
     return flat
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _call_plan(n: int, csz: int, group: int, small: int):
+    """Static per-level call layout: [(row_start, lanes, width)] in chunk
+    order (grouped full chunks, leftover full chunks, one bucketed partial)
+    plus the padded row count.  Encoder and decoder derive this from the
+    same level size (stream header), so the layouts — and therefore the
+    compiled phase programs — agree structurally."""
+    full = n // csz
+    rem = n - full * csz
+    calls = []
+    s = 0
+    grouped = (full // group) * group
+    for _ in range(0, grouped, group):
+        calls.append((s, group, csz))
+        s += group * csz
+    for _ in range(full - grouped):
+        calls.append((s, 1, csz))
+        s += csz
+    if rem:
+        b = small if rem <= small else csz
+        calls.append((s, 1, b))
+        s += b
+    return calls, s
+
+
+# ---- device-resident wavefront kernels (integer-exact; shapes static) ----
+
+
+def _expand_core(data, pos, occ, n_par, n_child, child_level, unit):
+    """Child contexts/positions from parent buffer + parent occupancies.
+
+    Role of the reference's tensorized expansion (decode_ehem.py:113-145),
+    on-device: for child slot j, the parent is found by binary search in
+    the inclusive prefix sum of per-parent child counts, its octant is the
+    rank-th set bit of the parent's occupancy byte.  Rows past n_child are
+    written as pad rows (occ 255, rest 0) — exactly what pad_rows() emits,
+    so downstream phase calls see identical bytes to the host layout.
+    """
+    import jax.numpy as jnp
+
+    b = data.shape[0]
+    i = jnp.arange(b, dtype=jnp.int32)
+    occ1 = occ.astype(jnp.int32) + 1  # 1..255
+    b8 = (occ1[:, None] >> jnp.arange(8, dtype=jnp.int32)) & 1  # (B, 8)
+    cnt = jnp.where(i < n_par, jnp.sum(b8, axis=1), 0)
+    cum = jnp.cumsum(cnt)
+    parent = jnp.minimum(
+        jnp.searchsorted(cum, i, side="right").astype(jnp.int32), b - 1
+    )
+    rank = i - (jnp.take(cum, parent) - jnp.take(cnt, parent))
+    pb8 = jnp.take(b8, parent, axis=0)
+    # octant = index of the (rank+1)-th set bit (ascending — the BFS child
+    # order of occupancy_to_child_octants)
+    bcum = jnp.cumsum(pb8, axis=1)
+    octant = jnp.argmax(
+        (bcum == (rank + 1)[:, None]).astype(jnp.int32), axis=1
+    ).astype(jnp.int32)
+
+    pdata = jnp.take(data, parent, axis=0)  # (B, 4, 3)
+    row2 = jnp.stack(
+        [pdata[:, 3, 0], pdata[:, 3, 1], jnp.take(occ, parent).astype(jnp.int32)],
+        axis=1,
+    )
+    row3 = jnp.stack(
+        [
+            jnp.broadcast_to(child_level.astype(jnp.int32), (b,)),
+            octant + 1,
+            jnp.full((b,), 255, jnp.int32),
+        ],
+        axis=1,
+    )
+    child = jnp.concatenate(
+        [pdata[:, 1:3], row2[:, None], row3[:, None]], axis=1
+    )
+    bits = jnp.stack(
+        [(octant >> 2) & 1, (octant >> 1) & 1, octant & 1], axis=1
+    )
+    cpos = jnp.take(pos, parent, axis=0) + bits * unit.astype(jnp.int32)
+    valid = i < n_child
+    pad_row = jnp.array([0, 0, 255], jnp.int32)
+    child = jnp.where(valid[:, None, None], child, pad_row[None, None, :])
+    cpos = jnp.where(valid[:, None], cpos, 0)
+    return child, cpos
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _expand_parity(data, pos, evens, odds, n_par, n_child, child_level, unit):
+    """Expansion fed by the decoder's parity-split symbol buffers."""
+    import jax.numpy as jnp
+
+    i = jnp.arange(data.shape[0], dtype=jnp.int32)
+    occ = jnp.where(
+        i % 2 == 0,
+        jnp.take(evens, i // 2, mode="clip"),
+        jnp.take(odds, i // 2, mode="clip"),
+    )
+    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _expand_stream(data, pos, occ_dev, lvl_off, n_par, n_child, child_level, unit):
+    """Expansion fed by the encoder's uploaded occupancy stream."""
+    occ = jax.lax.dynamic_slice_in_dim(occ_dev, lvl_off, data.shape[0])
+    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _expand_flat(data, pos, flat, n_par, n_child, child_level, unit):
+    """Expansion fed by a tiny level's un-split decoded symbols."""
+    import jax.numpy as jnp
+
+    occ = jnp.take(flat, jnp.arange(data.shape[0], dtype=jnp.int32), mode="clip")
+    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _emit_parity(out, evens, odds, off, n):
+    """Interleave one level's parity buffers into the BFS output stream."""
+    import jax.numpy as jnp
+
+    rel = jnp.arange(out.shape[0], dtype=jnp.int32) - off
+    val = jnp.where(
+        rel % 2 == 0,
+        jnp.take(evens, rel // 2, mode="clip"),
+        jnp.take(odds, rel // 2, mode="clip"),
+    )
+    return jnp.where((rel >= 0) & (rel < n), val, out)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _emit_flat(out, flat, off, n):
+    import jax.numpy as jnp
+
+    rel = jnp.arange(out.shape[0], dtype=jnp.int32) - off
+    val = jnp.take(flat, rel, mode="clip")
+    return jnp.where((rel >= 0) & (rel < n), val, out)
+
+
 class EHEMCodec:
     def __init__(
         self,
@@ -160,6 +301,9 @@ class EHEMCodec:
         self.group_size = group_size
         self.mode = mode or os.environ.get("SCP_CODEC_MODE", "rans")
         assert self.mode in ("rans", "staged", "full"), self.mode
+        # sharding of the last grouped phase-1 output (None off-mesh):
+        # inspected by tests asserting work is actually distributed
+        self.last_rows_sharding = None
         assert mesh is None or self.mode == "rans", (
             "sharded codec requires the device entropy coder (mode='rans')"
         )
@@ -170,23 +314,7 @@ class EHEMCodec:
         # decoder share these exact compiled programs — CDF agreement is
         # structural, whatever XLA does to the float math inside.
         if self.mode == "rans":
-            # decode side: full 256-entry u16 CDF rows, kept on device
-            self._phase1_fn = jax.jit(
-                lambda v, d, p: self._full_p1(v, d, p)
-            )
-            self._phase2_fn = jax.jit(
-                lambda v, f1, f2, occ1: logits_to_cdf(
-                    model.apply(
-                        v, f1, f2, occ1.astype("int32"), False,
-                        method=EHEM.decode_phase2,
-                    )
-                )
-            )
-            # encode side runs the EXACT decode programs above to produce
-            # CDF rows — one compiled program, one float behavior — and
-            # extracts (cdf_low, freq) with a separate integer-only jit
-            # (exact on any backend).
-            self._gather_sf_fn = jax.jit(rans.gather_start_freq)
+            self._make_wavefront_fns()
         elif self.mode == "staged":
             self._phase1_fn = jax.jit(
                 lambda v, d, p: self._staged_p1(v, d, p)
@@ -264,6 +392,142 @@ class EHEMCodec:
         p = p.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
         logits1, f1, f2 = self.model.apply(v, d, p, method=EHEM.decode_phase1)
         return (logits_to_cdf(logits1),), f1, f2
+
+    def _make_wavefront_fns(self):
+        """Jitted programs for the device-resident rANS wavefront.
+
+        The float path — context slicing/packing, position quantization,
+        the model trunk, and CDF quantization — is ONE fused program per
+        (lanes, width) shape, shared verbatim by encoder and decoder, so
+        CDF agreement is structural.  Symbol extraction, (cdf_low, freq)
+        gathering, expansion and stream assembly are integer-only programs
+        (exact on any backend) and may differ freely between the sides.
+        """
+        import jax.numpy as jnp
+
+        model = self.model
+        mesh = self.mesh
+
+        def p1(v, db, pb, start, clip, lo, scale, lanes, width):
+            lw = lanes * width
+            d = jax.lax.dynamic_slice_in_dim(db, start, lw)
+            d = d.reshape(lanes, width, 4, 3)
+            # level channel clipped (deepest level only — caller passes
+            # INT32_MAX elsewhere; reference encode_dataset_ehem.py:86)
+            d = jnp.concatenate(
+                [jnp.minimum(d[..., :1], clip), d[..., 1:]], axis=-1
+            )
+            p = jax.lax.dynamic_slice_in_dim(pb, start, lw)
+            # position quantization contract: normalize -> u16 -> f32
+            pf = (p - lo).astype(jnp.float32) * scale
+            pu = jnp.round(jnp.clip(pf, 0.0, 1.0) * jnp.float32(65535.0))
+            pq = pu.astype(jnp.uint16).astype(jnp.float32) * jnp.float32(
+                1.0 / 65535.0
+            )
+            pq = pq.reshape(lanes, width, 3)
+            if mesh is not None and lanes % mesh.devices.size == 0:
+                d = jax.lax.with_sharding_constraint(d, self._lane_spec(4))
+                pq = jax.lax.with_sharding_constraint(pq, self._lane_spec(3))
+            logits1, f1, f2 = model.apply(v, d, pq, method=EHEM.decode_phase1)
+            rows1 = logits_to_cdf(logits1)
+            return rows1.reshape(lanes * ((width + 1) // 2), 256), f1, f2
+
+        self._p1_buf_fn = partial(jax.jit, static_argnums=(7, 8))(p1)
+
+        def p2(v, f1, f2, occ):
+            rows = logits_to_cdf(
+                model.apply(
+                    v, f1, f2, occ.astype(jnp.int32), False,
+                    method=EHEM.decode_phase2,
+                )
+            )
+            return rows.reshape(-1, 256)
+
+        self._p2_buf_fn = jax.jit(p2)
+
+        # ---- integer-only helpers ----
+
+        def syms_call(occ_dev, gstart, n_end, lanes, width):
+            lw = lanes * width
+            seg = jax.lax.dynamic_slice_in_dim(occ_dev, gstart, lw)
+            idx = gstart + jnp.arange(lw, dtype=jnp.int32)
+            seg = jnp.where(idx < n_end, seg.astype(jnp.int32), 255)
+            seg = seg.reshape(lanes, width)
+            return seg[:, 0::2], seg[:, 1::2]
+
+        self._syms_fn = partial(jax.jit, static_argnums=(3, 4))(syms_call)
+
+        def sf_flat(rows_flat, syms):
+            return rans.gather_start_freq(rows_flat, syms.reshape(-1))
+
+        self._sf_flat_fn = jax.jit(sf_flat)
+
+        def sf_uniform(uniform_rows, occ_dev, off, n):
+            seg = jax.lax.dynamic_slice_in_dim(occ_dev, off, rans.CHUNK)
+            syms = jnp.where(
+                jnp.arange(rans.CHUNK, dtype=jnp.int32) < n,
+                seg.astype(jnp.int32),
+                0,
+            )
+            return rans.gather_start_freq(uniform_rows, syms)
+
+        self._sf_uniform_fn = jax.jit(sf_uniform)
+
+        def pad_cap(x, cap):
+            return jnp.pad(x, (0, cap - x.shape[0]))
+
+        self._pad_cap_fn = partial(jax.jit, static_argnums=(1,))(pad_cap)
+
+    # ---- wavefront plumbing ------------------------------------------------
+
+    def _plan_levels(self, level_sizes):
+        """Per-level call plans + standardized buffer capacities.
+
+        Capacities are rounded to powers of two so one cloud-size class
+        compiles one program set (the XLA programs are parameterized by
+        buffer shapes, and each compile costs real wall-clock over the
+        TPU tunnel)."""
+        csz, g, small = self.context_size, self.group_size, self._small_bucket
+        plans = []
+        for n in level_sizes:
+            if n <= self.TINY_UNIFORM_MAX:
+                plans.append(([], n))
+            else:
+                plans.append(_call_plan(n, csz, g, small))
+        b_cap = _pow2(max(p[1] for p in plans))
+        e_cap = max(rans.CHUNK, b_cap // 2)
+        return plans, b_cap, e_cap
+
+    def _root_bufs(self, b_cap: int):
+        """Device context/position buffers holding the level-1 root.
+
+        Pad rows match pad_rows(): level/octant/pos 0, occupancy 255."""
+        data = np.zeros((b_cap, 4, 3), np.int32)
+        data[:, :, 2] = 255
+        data[0, 3, 0] = 1
+        data[0, 3, 1] = 1
+        pos = np.zeros((b_cap, 3), np.int32)
+        return self._replicate_or_put(data), self._replicate_or_put(pos)
+
+    def _replicate_or_put(self, arr):
+        if self.mesh is not None:
+            return jax.device_put(arr, self._rep_sharding)
+        return jax.device_put(arr)
+
+    @staticmethod
+    def _norm_params(mm, max_level: int, angular: bool):
+        """(lo, scale) for the in-program position normalization — pure
+        integers/floats derived from header fields, identical on both
+        sides (encode_dataset_ehem.py:69-75 semantics)."""
+        if angular:
+            lo, hi = int(mm[0]), int(mm[1])
+            return np.int32(lo), np.float32(1.0 / (hi - lo + 1e-9))
+        return np.int32(0), np.float32(1.0 / float(2**max_level))
+
+    def _clip_for(self, level: int, max_level: int, lidar_clip):
+        if lidar_clip is not None and level == max_level:
+            return np.int32(lidar_clip)
+        return np.int32(2**31 - 1)
 
     def coding_params(self) -> str:
         """Stamp of every knob that changes the compiled phase programs'
@@ -375,8 +639,29 @@ class EHEMCodec:
         return out
 
     def warmup(self, slices: LevelSlices) -> int:
-        """Compile every (batch, bucket) program this cloud will use.
-        Returns the number of distinct programs touched."""
+        """Compile every program this cloud will use (excluded from bench
+        timing).  Returns the number of distinct phase shapes touched.
+
+        rans mode: the cheapest COMPLETE warm is one real encode+decode
+        roundtrip — every fused phase program, stream-assembly arity,
+        expansion and emit program of this cloud's level composition
+        compiles exactly once (and lands in the persistent XLA cache)."""
+        if self.mode == "rans":
+            plans, _, _ = self._plan_levels(slices.level_sizes)
+            shapes = {(la, w) for calls, _ in plans for _, la, w in calls}
+            stream, _, _ = self.encode_to_stream(slices)
+            dec = self.new_stream_decoder(stream, slices.occ_stream.shape[0])
+            self.decode(
+                dec,
+                slices.max_level,
+                np.array(slices.pos_mm, np.int64),
+                angular=slices.angular,
+                level_sizes=slices.level_sizes,
+            )
+            self.timers.totals.clear()
+            self.timers.counts.clear()
+            return len(shapes)
+
         csz = self.context_size
         shapes = set()
         for li in range(slices.num_levels):
@@ -396,21 +681,7 @@ class EHEMCodec:
             outs, f1, f2 = self._phase1_fn(self.variables, d, p)
             occ = np.full((bsz, (bucket + 1) // 2), 255, np.uint8)
             outs2 = self._phase2_fn(self.variables, f1, f2, occ)
-            if self.mode == "rans":
-                import jax.numpy as jnp
-
-                ne = bsz * ((bucket + 1) // 2)
-                flat = jnp.zeros((rans.pad_to_chunk(ne),), jnp.uint8)
-                oc = _occ_from_flat(
-                    flat, jnp.int32(0), jnp.int32(ne), bsz, (bucket + 1) // 2
-                )
-                # both sides feed phase 2 int32 (lanes, width) occupancies
-                # — ONE compiled program, shared float behavior
-                outs2 = self._phase2_fn(self.variables, f1, f2, oc)
-                sf1 = self._gather_sf_fn(outs[0], oc)
-                sf2 = self._gather_sf_fn(outs2, oc[:, : bucket // 2])
-                fetch = (outs[0], outs2, sf1, sf2, oc)
-            elif self.mode == "staged":
+            if self.mode == "staged":
                 hi1, cond1 = outs
                 hi2, cond2 = outs2
                 iv1 = self._iv_fn(hi1, cond1, occ)
@@ -424,38 +695,18 @@ class EHEMCodec:
             # for each shape too (first-fetch costs are large on remote TPU)
             for x in fetch:
                 np.asarray(x)
-        if self.mode == "rans":
-            # compile the rANS chunk programs with a real mini roundtrip
-            # (the decoder's stream buffer is padded to a standard size, so
-            # this compile is the one the real decode reuses)
-            import jax.numpy as jnp
-
-            uniform = logits_to_cdf(jnp.zeros((rans.CHUNK, 255), jnp.float32))
-            syms = jnp.zeros((rans.CHUNK,), jnp.int32)
-            enc = rans.RansEncoder()
-            enc.append_group(rans.gather_start_freq(uniform, syms), 17)
-            dec = rans.RansDecoder(enc.finish())
-            np.asarray(dec.decode_group(uniform.astype(jnp.uint16), 17))
-
-            # NOTE: the occupancy-slice / row-assembly programs are
-            # additionally parameterized by each level's flat-buffer
-            # length and call composition; those small programs compile on
-            # the first decode of a given cloud shape (bench runs a warm
-            # decode pass).  Compiling them all here was measured to COST
-            # more than it saves on this backend (~20-40 s per program
-            # over the tunnel x ~40 signatures).
         return len(shapes)
 
     # ---- encode -----------------------------------------------------------
 
-    def encode_to_stream(self, slices: LevelSlices):
+    def encode_to_stream(self, slices: LevelSlices, lidar_clip=None):
         """Encode a sliced cloud -> (stream_bytes, bit_count, model_seconds)."""
         enc = self.new_stream_encoder()
-        elapsed = self.encode_into(enc, slices)
+        elapsed = self.encode_into(enc, slices, lidar_clip=lidar_clip)
         stream, bits, _ = self.finish_stream(enc)
         return stream, bits, elapsed
 
-    def encode_into(self, enc, slices: LevelSlices) -> float:
+    def encode_into(self, enc, slices: LevelSlices, lidar_clip=None) -> float:
         """Encode one sliced (sub)tree into an open streaming encoder (the
         multi-level driver feeds 3 subtrees through one stream, role of
         reference encode_mullevel.py:106-146).  Returns elapsed seconds.
@@ -467,14 +718,7 @@ class EHEMCodec:
         arrays and the byte blocks materialize in finish_stream."""
         t0 = time.time()
         if self.mode == "rans":
-            per_level = [
-                self._encode_level_rans_dispatch(li, slices)
-                for li in range(slices.num_levels)
-            ]
-            for ne, no, sf_e, sf_o in per_level:
-                enc.append_group(_cat_pad_dev(sf_e, ne), ne)
-                if no:
-                    enc.append_group(_cat_pad_dev(sf_o, no), no)
+            self._encode_rans_device(enc, slices, lidar_clip)
         elif self.mode == "staged":
             per_level = [
                 self._encode_level_staged_dispatch(li, slices)
@@ -509,49 +753,72 @@ class EHEMCodec:
             ) + jnp.zeros((1,), jnp.uint16)  # materialize once
         return self._uni_rows
 
-    def _encode_level_rans_dispatch(self, li, slices):
-        """Dispatch phase 1 + 2 for one level; returns per-group device
-        (cdf_low, freq) parts.  No host fetches."""
-        d = slices.data[li]
-        pos = slices.level_pos(li)
-        n = d.shape[0]
-        if n <= self.TINY_UNIFORM_MAX:
-            syms = np.zeros(rans.CHUNK, np.int32)
-            syms[:n] = d[:, -1, 2]
-            sf = rans.gather_start_freq(
-                self._uniform_rows(), jax.device_put(syms)
+    def _encode_rans_device(self, enc, slices: LevelSlices, lidar_clip=None):
+        """Device-resident wavefront encode.
+
+        The only host->device payload is the occupancy byte stream (1 B per
+        node, uploaded once); contexts and positions are derived level by
+        level ON DEVICE by the same expansion the decoder runs, so the
+        phase programs see bit-identical inputs on both sides by
+        construction.  Nothing is fetched here — the compressed blocks
+        materialize in finish_stream()."""
+        sizes = slices.level_sizes
+        max_level = slices.max_level
+        plans, b_cap, e_cap = self._plan_levels(sizes)
+        total = sum(sizes)
+        n_cap = _pow2(total + max(b_cap, rans.CHUNK))
+        occ_host = np.zeros(n_cap, np.uint8)
+        occ_host[:total] = slices.occ_stream.astype(np.uint8)
+        occ_dev = self._replicate_or_put(occ_host)
+        data_buf, pos_buf = self._root_bufs(b_cap)
+
+        off = 0
+        for li, n in enumerate(sizes):
+            level = li + 1
+            clip = self._clip_for(level, max_level, lidar_clip)
+            lo, scale = self._norm_params(
+                slices.pos_mm[li] if slices.angular else (0, 0),
+                max_level,
+                slices.angular,
             )
-            return n, 0, [self._to_coder(sf)], []
-        ne, no = (n + 1) // 2, n // 2
-        occ = d[:, -1, 2]
-        # the decoder's exact compiled programs produce the rows; the
-        # (cdf_low, freq) extraction is a separate integer-only jit, so
-        # encoder/decoder CDF agreement cannot drift with XLA fusion
-        calls = self._phase1_level(d, pos)
-        sf_e, sf_o = [], []
-        with self.timers.stage("dispatch_p2"):
-            for batch, (rows1,), f1, f2, b in calls:
-                lanes, we = rows1.shape[0], (b + 1) // 2
-                evens = self._place(
-                    self._group_syms(batch, occ, lanes, we, 0).astype(np.int32)
-                )
-                odds = self._place(
-                    self._group_syms(batch, occ, lanes, b // 2, 1).astype(
-                        np.int32
+            if n <= self.TINY_UNIFORM_MAX:
+                with self.timers.stage("dispatch_p1"):
+                    sf = self._sf_uniform_fn(
+                        self._uniform_rows(), occ_dev, np.int32(off), np.int32(n)
                     )
-                )
-                sf_e.append(
-                    self._to_coder(
-                        self._gather_sf_fn(rows1, evens).reshape(-1, 2)
+                    enc.append_group(self._to_coder(sf), n)
+            else:
+                calls, _ = plans[li]
+                ne, no = (n + 1) // 2, n // 2
+                sf_e, sf_o = [], []
+                for s, lanes, width in calls:
+                    with self.timers.stage("dispatch_p1"):
+                        rows1, f1, f2 = self._p1_buf_fn(
+                            self.variables, data_buf, pos_buf,
+                            np.int32(s), clip, lo, scale, lanes, width,
+                        )
+                        if lanes > 1:
+                            self.last_rows_sharding = rows1.sharding
+                    with self.timers.stage("dispatch_p2"):
+                        evens, odds = self._syms_fn(
+                            occ_dev, np.int32(off + s), np.int32(off + n),
+                            lanes, width,
+                        )
+                        sf_e.append(self._to_coder(self._sf_flat_fn(rows1, evens)))
+                        rows2 = self._p2_buf_fn(self.variables, f1, f2, evens)
+                        sf_o.append(self._to_coder(self._sf_flat_fn(rows2, odds)))
+                enc.append_group(_cat_pad_dev(sf_e, ne), ne)
+                if no:
+                    enc.append_group(_cat_pad_dev(sf_o, no), no)
+            if level < max_level:
+                with self.timers.stage("dispatch_expand"):
+                    unit = np.int32(1 << (max_level - (level + 1) + 1))
+                    data_buf, pos_buf = _expand_stream(
+                        data_buf, pos_buf, occ_dev, np.int32(off),
+                        np.int32(n), np.int32(sizes[li + 1]),
+                        np.int32(level + 1), unit,
                     )
-                )
-                rows2 = self._phase2_fn(self.variables, f1, f2, evens)
-                sf_o.append(
-                    self._to_coder(
-                        self._gather_sf_fn(rows2, odds).reshape(-1, 2)
-                    )
-                )
-        return ne, no, sf_e, sf_o
+            off += n
 
     # -- staged mode --
 
@@ -633,15 +900,26 @@ class EHEMCodec:
         angular: bool,
         lidar_clip: int | None = None,
         ground_truth: np.ndarray | None = None,
+        level_sizes=None,
     ) -> np.ndarray:
         """Level-wavefront decode from an open AC decoder.
 
         pos_mm: (max_level, 2) per-level (min, max) of current-node grid
-        positions (ignored when not angular).  Returns occupancies 0..254
-        in BFS order.  `ground_truth` enables the reference's decode-time
-        assert (reference decode_ehem.py:184).
+        positions (ignored when not angular).  level_sizes: per-level node
+        counts from the stream header — required in "rans" mode, where they
+        make every wavefront shape known up front so the whole decode is
+        dispatched device-resident.  Returns occupancies 0..254 in BFS
+        order.  `ground_truth` enables the reference's decode-time assert
+        (reference decode_ehem.py:184).
         """
-        clip = lidar_clip if lidar_clip is not None else np.iinfo(np.int32).max
+        if self.mode == "rans":
+            assert level_sizes is not None, (
+                "rans decode needs the header's per-level node counts"
+            )
+            return self._decode_rans_device(
+                dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
+                ground_truth,
+            )
 
         # Root context: 3 missing-ancestor rows + self (level 1, octant 1).
         anc = np.zeros((1, 3, 3), np.int32)
@@ -656,12 +934,14 @@ class EHEMCodec:
             n = data.shape[0]
             mm = tuple(pos_mm[level - 1]) if angular else (0, 0)
             pos = normalize_positions(pos_int, mm, max_level, angular)
-            dc = data.copy()
-            dc[:, :, 0] = np.minimum(dc[:, :, 0], clip)  # level channel only
+            dc = data
+            if lidar_clip is not None and level == max_level:
+                # deepest level's level channel only — mirrors the encode
+                # split (split_levels; reference encode_dataset_ehem.py:86)
+                dc = data.copy()
+                dc[:, :, 0] = np.minimum(dc[:, :, 0], lidar_clip)
 
-            if self.mode == "rans":
-                level_occ = self._decode_level_rans(dec, dc, pos)
-            elif self.mode == "staged":
+            if self.mode == "staged":
                 level_occ = self._decode_level_staged(dec, dc, pos)
             else:
                 level_occ = self._decode_level_full(dec, dc, pos)
@@ -681,64 +961,117 @@ class EHEMCodec:
                 )
         return np.concatenate(codes)
 
-    def _decode_level_rans(self, dec, dc, pos):
-        """rANS wavefront decode of one level — entropy coding runs ON the
-        device; the only host round-trip is the final occupancy fetch
-        (1 B/node) feeding the child expansion."""
+    def _decode_rans_device(
+        self, dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
+        ground_truth,
+    ):
+        """Device-resident wavefront decode.
+
+        Contexts, positions, decoded symbols and the assembled BFS stream
+        all live in HBM across levels; the level loop only enqueues work
+        (shapes are known from the header), so the one host round-trip of
+        the whole decode is the final 1 B/node output fetch.  Role of the
+        reference wavefront (decode_ehem.py:102-188) with the host taken
+        off the critical path."""
         import jax.numpy as jnp
 
-        n = dc.shape[0]
-        if n <= self.TINY_UNIFORM_MAX:
-            with self.timers.stage("dispatch_rans"):
-                flat = dec.decode_group(self._to_coder(self._uniform_rows()), n)
-            with self.timers.stage("fetch_occ"):
-                return np.asarray(flat)[:n].astype(np.int32)
-        ne, no = (n + 1) // 2, n // 2
-        calls = self._phase1_level(dc, pos)
+        sizes = [int(s) for s in level_sizes]
+        assert len(sizes) == max_level, (len(sizes), max_level)
+        plans, b_cap, e_cap = self._plan_levels(sizes)
+        total = sum(sizes)
+        n_cap = _pow2(max(total, 1))
+        out = self._replicate_or_put(np.zeros(n_cap, np.uint8))
+        data_buf, pos_buf = self._root_bufs(b_cap)
 
-        with self.timers.stage("dispatch_rans"):
-            rows_e = _cat_pad_dev(
-                [self._to_coder(c[1][0].reshape(-1, 256)) for c in calls], ne
+        off = 0
+        for li, n in enumerate(sizes):
+            level = li + 1
+            clip = self._clip_for(level, max_level, lidar_clip)
+            lo, scale = self._norm_params(
+                pos_mm[li] if angular else (0, 0), max_level, angular
             )
-            evens_flat = dec.decode_group(rows_e, ne)
-            if hasattr(evens_flat, "copy_to_host_async"):
-                # overlap the evens transfer with the odds compute chain
-                evens_flat.copy_to_host_async()
-
-        rows2 = []
-        with self.timers.stage("dispatch_p2"):
-            for batch, _outs, f1, f2, b in calls:
-                lanes, width = f1.shape[0], (b + 1) // 2
-                occ = self._replicate(
-                    _occ_from_flat(
-                        evens_flat, jnp.int32(batch[0][0] // 2), jnp.int32(ne),
-                        lanes, width,
+            if n <= self.TINY_UNIFORM_MAX:
+                with self.timers.stage("dispatch_rans"):
+                    flat = dec.decode_group(
+                        self._to_coder(self._uniform_rows()), n
                     )
-                )
-                rows2.append(
-                    self._to_coder(
-                        self._phase2_fn(self.variables, f1, f2, occ).reshape(-1, 256)
-                    )
-                )
+                    flat = self._replicate(flat)
+                out = _emit_flat(out, flat, np.int32(off), np.int32(n))
+                if level < max_level:
+                    with self.timers.stage("dispatch_expand"):
+                        unit = np.int32(1 << (max_level - (level + 1) + 1))
+                        data_buf, pos_buf = _expand_flat(
+                            data_buf, pos_buf, flat, np.int32(n),
+                            np.int32(sizes[li + 1]), np.int32(level + 1), unit,
+                        )
+                off += n
+                continue
 
-        odds_flat = None
-        if no:
+            calls, _ = plans[li]
+            ne, no = (n + 1) // 2, n // 2
+            p1_outs = []
+            with self.timers.stage("dispatch_p1"):
+                for s, lanes, width in calls:
+                    rows1, f1, f2 = self._p1_buf_fn(
+                        self.variables, data_buf, pos_buf,
+                        np.int32(s), clip, lo, scale, lanes, width,
+                    )
+                    if lanes > 1:
+                        self.last_rows_sharding = rows1.sharding
+                    p1_outs.append((s, lanes, width, rows1, f1, f2))
+
             with self.timers.stage("dispatch_rans"):
-                rows_o = _cat_pad_dev(rows2, no)
-                odds_flat = dec.decode_group(rows_o, no)
+                rows_e = _cat_pad_dev(
+                    [self._to_coder(o[3]) for o in p1_outs], ne
+                )
+                evens_cap = self._pad_cap_fn(dec.decode_group(rows_e, ne), e_cap)
 
-        with self.timers.stage("fetch_occ"):
-            for a in (evens_flat, odds_flat):
-                if a is not None and hasattr(a, "copy_to_host_async"):
-                    a.copy_to_host_async()
-            evens = np.asarray(evens_flat)[:ne].astype(np.int32)
-            odds = np.asarray(odds_flat)[:no].astype(np.int32) if no else None
+            rows2 = []
+            with self.timers.stage("dispatch_p2"):
+                for s, lanes, width, _rows1, f1, f2 in p1_outs:
+                    occ = self._replicate(
+                        _occ_from_flat(
+                            evens_cap, jnp.int32(s // 2), jnp.int32(ne),
+                            lanes, (width + 1) // 2,
+                        )
+                    )
+                    rows2.append(
+                        self._to_coder(self._p2_buf_fn(self.variables, f1, f2, occ))
+                    )
 
-        level_occ = np.empty(n, np.int32)
-        level_occ[0::2] = evens
-        if no:
-            level_occ[1::2] = odds
-        return level_occ
+            if no:
+                with self.timers.stage("dispatch_rans"):
+                    odds_cap = self._pad_cap_fn(
+                        dec.decode_group(_cat_pad_dev(rows2, no), no), e_cap
+                    )
+            else:
+                odds_cap = evens_cap
+
+            ev_r, od_r = self._replicate(evens_cap), self._replicate(odds_cap)
+            out = _emit_parity(out, ev_r, od_r, np.int32(off), np.int32(n))
+            if level < max_level:
+                with self.timers.stage("dispatch_expand"):
+                    unit = np.int32(1 << (max_level - (level + 1) + 1))
+                    data_buf, pos_buf = _expand_parity(
+                        data_buf, pos_buf, ev_r, od_r, np.int32(n),
+                        np.int32(sizes[li + 1]), np.int32(level + 1), unit,
+                    )
+            off += n
+
+        with self.timers.stage("fetch_out"):
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
+            codes = np.asarray(out)[:total].astype(np.int16)
+        if ground_truth is not None:
+            bad = np.nonzero(ground_truth[:total] != codes)[0]
+            if bad.size:
+                i = int(bad[0])
+                lvl = int(np.searchsorted(np.cumsum(sizes), i, side="right")) + 1
+                raise AssertionError(
+                    f"decode mismatch at node {i} (level {lvl}): "
+                    f"got {int(codes[i])}, want {int(ground_truth[i])}"
+                )
+        return codes
 
     def _decode_level_staged(self, dec, dc, pos):
         """Staged wavefront decode of one level.
@@ -900,5 +1233,5 @@ def encode_context_array(
 ):
     """Convenience: raw (N, 4, 6) shard -> (stream, bits, slices, seconds)."""
     slices = split_levels(ctx, angular=angular, lidar_level_clip=lidar_clip)
-    stream, bits, elapsed = codec.encode_to_stream(slices)
+    stream, bits, elapsed = codec.encode_to_stream(slices, lidar_clip=lidar_clip)
     return stream, bits, slices, elapsed

@@ -183,10 +183,31 @@ def _encode_chunk(states, sf, base, n):
     return buf, total, states
 
 
+@jax.jit
+def _compact_blocks(blocks, totals):
+    """Pack K chunk blocks (each `totals[k]` valid bytes) back-to-back.
+
+    blocks (K, L) u8, totals (K,) i32 -> ((K*L,) u8 packed stream prefix,
+    () i32 total bytes).  Gather-based (searchsorted over the totals prefix
+    sum) — TPU scatters serialize, gathers vectorize."""
+    k, l = blocks.shape
+    cum = jnp.cumsum(totals)
+    starts = cum - totals
+    j = jnp.arange(k * l, dtype=jnp.int32)
+    src = jnp.minimum(
+        jnp.searchsorted(cum, j, side="right").astype(jnp.int32), k - 1
+    )
+    off = j - jnp.take(starts, src)
+    vals = blocks[src, jnp.minimum(off, l - 1)]
+    return jnp.where(j < cum[-1], vals, 0), cum[-1]
+
+
 class RansEncoder:
     """Accumulates per-group (cdf_low, freq) device arrays during the
     (forward) model pass; `finish()` runs the reverse-order encode chain —
-    all dispatches async, one fetch per chunk at assembly."""
+    all dispatches async, the payload is compacted ON DEVICE and fetched
+    in one transfer (one scalar round-trip for the byte count, one bulk
+    copy of ~bpp/8 bytes per node)."""
 
     def __init__(self):
         self.groups: list[tuple[jnp.ndarray, object]] = []  # (sf padded, n)
@@ -201,10 +222,9 @@ class RansEncoder:
 
     def finish(self) -> bytes:
         states = jnp.full((K_LANES,), RANS_L, jnp.uint32)
-        per_group: list[list] = []
+        rev_blocks: list = []  # (block, total) in reverse stream order
         for sf, n in reversed(self.groups):
             n_chunks = -(-n // CHUNK)
-            blocks = []
             for c in reversed(range(n_chunks)):
                 block, total, states = _encode_chunk(
                     states,
@@ -212,23 +232,25 @@ class RansEncoder:
                     jnp.int32(c * CHUNK),
                     jnp.int32(n),
                 )
-                blocks.append((block, total))
-            per_group.append(blocks)
+                rev_blocks.append((block, total))
         # lanes beyond the largest group were never touched (still == L):
         # store only the used prefix (matters for small clouds)
         used = min(max((n for _, n in self.groups), default=0), K_LANES)
-        head = np.asarray(states)[:used].astype("<u4").tobytes()
-        out = [np.uint16(used).tobytes(), head]
-        # start every device->host copy before blocking on any (each
-        # synchronous fetch pays a full tunnel round-trip)
-        for blocks in per_group:
-            for block, total in blocks:
-                for a in (block, total):
-                    if hasattr(a, "copy_to_host_async"):
-                        a.copy_to_host_async()
-        for blocks in reversed(per_group):  # forward group order
-            for block, total in reversed(blocks):  # forward chunk order
-                out.append(np.asarray(block)[: int(total)].tobytes())
+        out = [np.uint16(used).tobytes()]
+        if rev_blocks:
+            packed, tot = _compact_blocks(
+                jnp.stack([b for b, _ in reversed(rev_blocks)]),
+                jnp.stack([t for _, t in reversed(rev_blocks)]),
+            )
+            head = np.asarray(states)[:used].astype("<u4").tobytes()
+            tot = int(tot)
+            # fetch a page-rounded prefix: the slice program is shape-
+            # parameterized, so standardize lengths to bound compile count
+            tot_pad = min(-(-tot // 65536) * 65536, packed.shape[0])
+            body = np.asarray(packed[:tot_pad])[:tot].tobytes()
+            out += [head, body]
+        else:
+            out.append(np.asarray(states)[:used].astype("<u4").tobytes())
         return b"".join(out)
 
 

@@ -49,6 +49,13 @@ class LevelSlices:
     def num_levels(self) -> int:
         return len(self.data)
 
+    @property
+    def level_sizes(self) -> list[int]:
+        """Per-level node counts — written to the stream header so the
+        decoder knows every level's shape up front (the whole wavefront
+        can then be dispatched device-resident, no per-level sync)."""
+        return [int(d.shape[0]) for d in self.data]
+
     def level_pos(self, l: int) -> np.ndarray:
         """Float32 normalized positions for level index l (0-based)."""
         return normalize_positions(
@@ -79,10 +86,6 @@ def split_levels(ctx: np.ndarray, angular: bool, lidar_level_clip: int | None = 
     node_level = levels[:, -1]
     max_level = int(node_level.max())
 
-    if lidar_level_clip is not None:
-        # deepest level's level channel clipped (encode_dataset_ehem.py:86)
-        levels = np.minimum(levels, lidar_level_clip)
-
     data_all = np.stack([levels, octants, occ], axis=-1)  # (N, 4, 3)
     pos_all = ctx[:, -1, 3:6].astype(np.int64)
 
@@ -91,6 +94,14 @@ def split_levels(ctx: np.ndarray, angular: bool, lidar_level_clip: int | None = 
         sel = node_level == l
         d = data_all[sel]
         p = pos_all[sel]
+        if lidar_level_clip is not None and l == max_level:
+            # The reference clips the level channel (all K ancestor slots)
+            # of the DEEPEST level's rows only (encode_dataset_ehem.py:86
+            # applies after the per-level loop; inner levels pass through)
+            # — this is what keeps multi-level subtrees (depth up to
+            # lidar_level+2) inside the level-embedding table.
+            d = d.copy()
+            d[:, :, 0] = np.minimum(d[:, :, 0], lidar_level_clip)
         data.append(d.astype(np.int32))
         pos_int.append(p)
         pos_mm.append((int(p.min()), int(p.max())) if p.size else (0, 0))

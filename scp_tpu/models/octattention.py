@@ -65,6 +65,9 @@ class DualStreamLayer(nn.Module):
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.ffn1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.ffn2 = nn.Dense(self.d_model, dtype=self.dtype)
+        # attention-weight + FFN dropout (reference attention_model.py:
+        # 76,89,107-122); active only when deterministic=False
+        self.drop = nn.Dropout(self.dropout)
 
     # -- full-sequence forward (training / chunked encode) -----------------
 
@@ -80,6 +83,7 @@ class DualStreamLayer(nn.Module):
         scores = jnp.einsum("bnhd,bmhd->bhnm", q_unk, k).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd))
         attn = nn.softmax(scores + causal_mask, axis=-1)
+        attn = self.drop(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
 
         diag = jnp.einsum("bnhd,bnhd->bhn", q_unk, k_unk).astype(jnp.float32)
@@ -87,7 +91,10 @@ class DualStreamLayer(nn.Module):
         n = scores.shape[-1]
         eye = jnp.eye(n, dtype=jnp.float32)
         scores_unk = scores * (1.0 - eye) + diag[..., None] * eye
-        attn_unk = nn.softmax(scores_unk + causal_mask, axis=-1).astype(self.dtype)
+        attn_unk = nn.softmax(scores_unk + causal_mask, axis=-1)
+        attn_unk = self.drop(attn_unk, deterministic=deterministic).astype(
+            self.dtype
+        )
         diag_w = jnp.diagonal(attn_unk, axis1=-2, axis2=-1)  # (b, h, n)
         attn_off = attn_unk * (1.0 - eye).astype(self.dtype)
         out_unk = jnp.einsum("bhnm,bmhd->bnhd", attn_off, v)
@@ -97,12 +104,20 @@ class DualStreamLayer(nn.Module):
         out = out.reshape(b, n, self.d_model)
         out_unk = out_unk.reshape(b, n, self.d_model)
 
-        embed = self.norm1(embed + out)
-        embed_unknown = self.norm1(embed_unknown + out_unk)
-        f = self.ffn2(nn.relu(self.ffn1(embed)))
-        f_unk = self.ffn2(nn.relu(self.ffn1(embed_unknown)))
-        embed = self.norm2(embed + f).astype(self.dtype)
-        embed_unknown = self.norm2(embed_unknown + f_unk).astype(self.dtype)
+        embed = self.norm1(embed + self.drop(out, deterministic=deterministic))
+        embed_unknown = self.norm1(
+            embed_unknown + self.drop(out_unk, deterministic=deterministic)
+        )
+        f = self.ffn2(self.drop(nn.relu(self.ffn1(embed)), deterministic=deterministic))
+        f_unk = self.ffn2(
+            self.drop(nn.relu(self.ffn1(embed_unknown)), deterministic=deterministic)
+        )
+        embed = self.norm2(
+            embed + self.drop(f, deterministic=deterministic)
+        ).astype(self.dtype)
+        embed_unknown = self.norm2(
+            embed_unknown + self.drop(f_unk, deterministic=deterministic)
+        ).astype(self.dtype)
         return embed, embed_unknown
 
     # -- incremental single-position steps ----------------------------------
@@ -234,7 +249,7 @@ class OctAttention(nn.Module):
     # -- full forward ----------------------------------------------------------
 
     def __call__(self, data, pos=None, deterministic=True, train=False):
-        del deterministic, train
+        det = deterministic and not train
         n = data.shape[1]
         embed = self._tokens(data, pos, unknown=False)
         embed_unknown = self._tokens(data, pos, unknown=True)
@@ -244,7 +259,9 @@ class OctAttention(nn.Module):
             embed_unknown = embed_unknown + pe
         causal_mask = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
         for layer in self.layers:
-            embed, embed_unknown = layer(embed, embed_unknown, causal_mask)
+            embed, embed_unknown = layer(
+                embed, embed_unknown, causal_mask, deterministic=det
+            )
         h = self.decoder0(embed_unknown)
         return self.decoder1(nn.relu(h))
 

@@ -4,9 +4,10 @@ Replaces the reference's torch DataLoader stack (`dataloaders/
 oct_attn_dataset.py`, `ehem_dataset.py`, `oct_attn_dataloader.py`) with a
 host-side generator + double-buffered device transfer:
 
-  * shards are memory-mapped and consumed one file at a time; windows of
-    `context_size` rows are drawn sequentially (OctAttention) or in
-    permuted order (EHEM), matching the reference's sampling;
+  * shards are memory-mapped; windows of `context_size` rows are drawn in
+    a GLOBAL (cross-shard) random permutation re-drawn every epoch — the
+    reference's DataLoader(shuffle=True) over all windows
+    (oct_attn_dataloader.py:25), not just within-shard order;
   * occupancy is shifted 1..255 -> 0..254 at load; 255 = pad/unknown
     (reference oct_attn_dataset.py:35);
   * EHEM positions are the current node's, min-max normalized per window
@@ -60,43 +61,48 @@ class ShardDataset:
         return max(self.total_nodes // (self.context_size * self.batch_size), 1)
 
     def _window_iter(self):
-        """Yield (data(N,4,3) int32, pos float32, label int32) windows."""
+        """Yield (data(N,4,3) int32, pos float32, label int32) windows in a
+        global cross-shard permutation, re-drawn each epoch (reference
+        DataLoader shuffle=True, oct_attn_dataloader.py:25 — consecutive
+        batch items come from anywhere in the dataset, not one shard)."""
         csz = self.context_size
+        shards = [np.load(f, mmap_mode="r") for f in self.files]
+        index = np.array(
+            [(fi, w) for fi, s in enumerate(shards) for w in range(s.shape[0] // csz)],
+            dtype=np.int64,
+        ).reshape(-1, 2)
+        if index.shape[0] == 0:
+            raise ValueError(
+                f"every shard is shorter than context_size={csz}; "
+                "no training windows can be drawn"
+            )
+        max_levels: dict[int, int] = {}
         while True:
-            yielded_any = False
-            order = self.rng.permutation(len(self.files))
-            for fi in order:
-                shard = np.load(self.files[fi], mmap_mode="r")
-                n_win = shard.shape[0] // csz
-                if n_win == 0:
-                    continue
-                yielded_any = True
-                win_order = self.rng.permutation(n_win) if self.mode == "ehem" else range(n_win)
-                max_level = int(shard[:, -1, 1].max())
-                for w in win_order:
-                    rows = np.array(shard[w * csz : (w + 1) * csz])
-                    rows[:, :, 0] -= 1  # occupancy 1..255 -> 0..254
-                    if self.mode == "ehem":
-                        pos = rows[:, -1, 3:6].astype(np.float32)
-                        lo, hi = pos.min(), pos.max()
-                        pos = (pos - lo) / (hi - lo + 1e-9)
-                        data = rows[:, :, :3]
-                        # (occ, level, octant) -> (level, octant, occ)
-                        data = np.concatenate((data[:, :, 1:], data[:, :, :1]), axis=2)
-                        label = data[:, -1, 2].copy()
-                    else:
-                        pos = (rows[:, :, 3:6] / float(2**max_level)).astype(np.float32)
-                        data = rows[:, :, :3]
-                        label = data[:, -1, 0].copy()
-                    yield (
-                        data.astype(np.int32),
-                        pos,
-                        label.astype(np.int32),
+            for i in self.rng.permutation(index.shape[0]):
+                fi, w = int(index[i, 0]), int(index[i, 1])
+                shard = shards[fi]
+                rows = np.array(shard[w * csz : (w + 1) * csz])
+                rows[:, :, 0] -= 1  # occupancy 1..255 -> 0..254
+                if self.mode == "ehem":
+                    pos = rows[:, -1, 3:6].astype(np.float32)
+                    lo, hi = pos.min(), pos.max()
+                    pos = (pos - lo) / (hi - lo + 1e-9)
+                    data = rows[:, :, :3]
+                    # (occ, level, octant) -> (level, octant, occ)
+                    data = np.concatenate((data[:, :, 1:], data[:, :, :1]), axis=2)
+                    label = data[:, -1, 2].copy()
+                else:
+                    if fi not in max_levels:
+                        max_levels[fi] = int(shard[:, -1, 1].max())
+                    pos = (rows[:, :, 3:6] / float(2 ** max_levels[fi])).astype(
+                        np.float32
                     )
-            if not yielded_any:
-                raise ValueError(
-                    f"every shard is shorter than context_size={csz}; "
-                    "no training windows can be drawn"
+                    data = rows[:, :, :3]
+                    label = data[:, -1, 0].copy()
+                yield (
+                    data.astype(np.int32),
+                    pos,
+                    label.astype(np.int32),
                 )
 
     def batches(self):

@@ -107,8 +107,9 @@ class Trainer:
 
     def _build_step(self):
         model, tx, constants = self.model, self.tx, self._constants
+        drop_key = jax.random.PRNGKey(int(self.cfg.get("seed", 42)) + 1)
 
-        def loss_fn(params, batch_stats, batch):
+        def loss_fn(params, batch_stats, batch, step):
             variables = {"params": params, **constants}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -118,7 +119,7 @@ class Trainer:
                 batch["pos"],
                 train=True,
                 mutable=["batch_stats"] if batch_stats else [],
-                rngs=None,
+                rngs={"dropout": jax.random.fold_in(drop_key, step)},
             )
             if batch_stats:
                 logits, updates = out
@@ -130,7 +131,7 @@ class Trainer:
 
         def step(state: TrainState, batch):
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch
+                state.params, state.batch_stats, batch, state.step
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

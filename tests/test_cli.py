@@ -123,6 +123,40 @@ def test_tools_then_encode_decode(tmp_path, rng, tiny_run):
     )
 
 
+def test_encode_reports_d2_with_normals(tmp_path, rng, tiny_run):
+    """--normals_dir enables point-to-plane (D2) PSNR on the encode path
+    (reference pt.py:68-79 passes a normals ply to pc_error via -n)."""
+    run_dir, ck = tiny_run
+    data_dir = tmp_path / "ford"
+    data_dir.mkdir()
+    pts = lidar_ply(str(data_dir / "scan0.ply"), rng)
+
+    from scp_tpu.metrics import estimate_normals
+    from scp_tpu.tools.gene_normals import write_ply_with_normals
+
+    ndir = tmp_path / "normals"
+    ndir.mkdir()
+    write_ply_with_normals(
+        str(ndir / "scan0.ply"), pts, estimate_normals(pts, k=8)
+    )
+
+    from scp_tpu.cli.codec_common import CodecSession
+
+    session = CodecSession(ck, run_dir)
+    stats = session.encode_file(
+        str(data_dir / "scan0.ply"),
+        str(tmp_path / "out"),
+        data_type="ford",
+        lidar_level=12,
+        system="spher",
+        normals_dir=str(ndir),
+    )
+    assert stats["psnr_d2"] > 0.0
+    assert stats["psnr_d1"] > 0.0
+    # D2 >= D1 in dB is not guaranteed in general, but both must be finite
+    assert np.isfinite(stats["psnr_d2"])
+
+
 def test_reference_style_cache_interop(tmp_path, rng, tiny_run):
     """A cache dir holding only `<name>.npy` + `<name>_meta.npy` (what the
     reference's preprocessing leaves behind, encode_dataset_ehem.py:126-135)

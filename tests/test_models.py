@@ -47,6 +47,30 @@ def test_octattention_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_octattention_dropout(rng):
+    """train.dropout must be live (reference attention_model.py has dropout
+    throughout): training mode with different rngs gives different logits;
+    eval mode is deterministic and rng-free."""
+    model = OctAttention(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=64, dropout=0.5,
+    )
+    data, pos = make_octattn_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), data, pos)
+    a = model.apply(
+        params, data, pos, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    b = model.apply(
+        params, data, pos, train=True, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # eval path: no rng needed, bit-stable
+    e1 = model.apply(params, data, pos)
+    e2 = model.apply(params, data, pos)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 def test_octattention_causal_and_dual_stream(rng):
     """Logits at position i must not depend on occupancies at positions >= i
     of the node stream, NOR on node i's own occupancy."""

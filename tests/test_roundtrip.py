@@ -67,6 +67,7 @@ def test_ehem_roundtrip_cartesian(rng, ehem_codec):
         mm,
         angular=False,
         ground_truth=slices.occ_stream,
+        level_sizes=slices.level_sizes,
     )
     np.testing.assert_array_equal(codes, slices.occ_stream)
     rec = deoctree(codes.astype(np.int64) + 1)
@@ -90,6 +91,7 @@ def test_ehem_roundtrip_spherical(rng, ehem_codec):
         np.array(slices.pos_mm, np.int64),
         angular=True,
         ground_truth=slices.occ_stream,
+        level_sizes=slices.level_sizes,
     )
     np.testing.assert_array_equal(codes, slices.occ_stream)
     # full reconstruction: occupancy stream -> grid -> Cartesian
@@ -137,8 +139,17 @@ def test_ehem_sharded_codec_roundtrip(rng):
         np.array(slices.pos_mm, np.int64),
         angular=True,
         ground_truth=slices.occ_stream,
+        level_sizes=slices.level_sizes,
     )
     np.testing.assert_array_equal(codes, slices.occ_stream)
+    # the sharded-codec claim must rest on actually-distributed work, not
+    # just a lossless roundtrip: grouped phase calls must carry a lane
+    # sharding over the mesh's "data" axis
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    s = codec.last_rows_sharding
+    assert isinstance(s, NamedSharding), s
+    assert s.spec[0] == "data", s.spec
 
 
 def test_octattention_incremental_consistency(rng):
