@@ -70,38 +70,62 @@ def profile_codec(args):
     codec = EHEMCodec(model, variables, group_size=args.group)
 
     g, csz = args.group, 8192
-    d = np.zeros((g, csz, 4, 3), np.int32)
-    d[:, :, :, 2] = 255
-    p = np.zeros((g, csz, 3), np.float32)
-    occ = np.full((g, csz // 2), 255, np.uint8)
-
-    d = codec._pack_data(d)
-    p = codec._pack_pos(p.astype(np.float32))
-    lowered = codec._phase1_fn.lower(codec.variables, d, p)
-    c1 = lowered.compile()
-    f1_flops = _flops_of(c1)
-
     # steady-state timings: compute + a MINIMAL output fetch (the axon
     # backend defers execution to the first fetch).  In rans mode the CDF
     # rows never leave the device, so fetch one row only — fetching the
     # full tensor would charge the profile a transfer the codec never pays.
-    outs, f1, f2 = codec._phase1_fn(codec.variables, d, p)
-    _fetch(outs[0])
-    t_p1 = _time_call(
-        lambda: _fetch(codec._phase1_fn(codec.variables, d, p)[0][0][0, 0])
-    )
-    out2 = codec._phase2_fn(codec.variables, f1, f2, occ)
-    _fetch(out2[0] if isinstance(out2, tuple) else out2)
+    if codec.mode == "rans":
+        # the device-resident wavefront's buffer-fed programs
+        cap = g * csz
+        db = codec._replicate_or_put(np.zeros((cap, 4, 3), np.int32))
+        pb = codec._replicate_or_put(np.zeros((cap, 3), np.int32))
+        occ_dev = codec._replicate_or_put(np.zeros(cap, np.uint8))
+        pa = (
+            codec.variables, db, pb, np.int32(0), np.int32(2**31 - 1),
+            np.int32(0), np.float32(1.0), g, csz,
+        )
+        inner = getattr(codec._p1_buf_fn, "__wrapped__", codec._p1_buf_fn)
+        f1_flops = _flops_of(
+            jax.jit(inner, static_argnums=(7, 8)).lower(*pa).compile()
+        )
+        rows1, f1, f2 = codec._p1_buf_fn(*pa)
+        _fetch(rows1[0, 0])
+        t_p1 = _time_call(lambda: _fetch(codec._p1_buf_fn(*pa)[0][0, 0]))
+        evens, _ = codec._syms_fn(occ_dev, np.int32(0), np.int32(cap), g, csz)
+        r2 = codec._p2_buf_fn(codec.variables, f1, f2, evens)
+        _fetch(r2[0, 0])
+        t_p2 = _time_call(
+            lambda: _fetch(
+                codec._p2_buf_fn(codec.variables, f1, f2, evens)[0, 0]
+            )
+        )
+    else:
+        d = np.zeros((g, csz, 4, 3), np.int32)
+        d[:, :, :, 2] = 255
+        p = np.zeros((g, csz, 3), np.float32)
+        occ = np.full((g, csz // 2), 255, np.uint8)
 
-    def _p2_once():
-        o = codec._phase2_fn(codec.variables, f1, f2, occ)
-        if codec.mode == "staged":
-            return _fetch(o[0])
-        if codec.mode == "rans":
-            return _fetch(o[0, 0])  # one row — rows stay on device live
-        return _fetch(o)
+        d = codec._pack_data(d)
+        p = codec._pack_pos(p.astype(np.float32))
+        lowered = codec._phase1_fn.lower(codec.variables, d, p)
+        c1 = lowered.compile()
+        f1_flops = _flops_of(c1)
 
-    t_p2 = _time_call(_p2_once)
+        outs, f1, f2 = codec._phase1_fn(codec.variables, d, p)
+        _fetch(outs[0])
+        t_p1 = _time_call(
+            lambda: _fetch(codec._phase1_fn(codec.variables, d, p)[0][0][0, 0])
+        )
+        out2 = codec._phase2_fn(codec.variables, f1, f2, occ)
+        _fetch(out2[0] if isinstance(out2, tuple) else out2)
+
+        def _p2_once():
+            o = codec._phase2_fn(codec.variables, f1, f2, occ)
+            if codec.mode == "staged":
+                return _fetch(o[0])
+            return _fetch(o)
+
+        t_p2 = _time_call(_p2_once)
 
     # transfer: re-fetch already-computed rows (pure transfer cost)
     if codec.mode == "rans":
