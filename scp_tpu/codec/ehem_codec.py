@@ -143,9 +143,18 @@ def _call_plan(n: int, csz: int, group: int, small: int):
     for _ in range(0, grouped, group):
         calls.append((s, group, csz))
         s += group * csz
-    for _ in range(full - grouped):
-        calls.append((s, 1, csz))
-        s += csz
+    # leftover full chunks in power-of-two lane subgroups (16, 8, 4, 2, 1):
+    # a 24-chunk level runs as (16)+(8), not (16)+8x(1) — single-lane calls
+    # measured ~35% slower per node than grouped ones
+    left = full - grouped
+    sub = 1 << (max(int(group), 1).bit_length() - 1)  # largest pow2 <= group
+    while left:
+        while sub > left:
+            sub //= 2
+        sub = max(sub, 1)
+        calls.append((s, sub, csz))
+        s += sub * csz
+        left -= sub
     if rem:
         b = small if rem <= small else csz
         calls.append((s, 1, b))
@@ -297,7 +306,9 @@ class EHEMCodec:
         self.variables = jax.device_put(variables)
         self.context_size = context_size
         if group_size is None:
-            group_size = int(os.environ.get("SCP_CODEC_GROUP", 8))
+            # 16 lanes measured fastest per node on a v5e chip (1.46 us vs
+            # 1.97 at 8 and 1.74 at 32 for p1+p2, scratch/prof_wavefront.py)
+            group_size = int(os.environ.get("SCP_CODEC_GROUP", 16))
         self.group_size = group_size
         self.mode = mode or os.environ.get("SCP_CODEC_MODE", "rans")
         assert self.mode in ("rans", "staged", "full"), self.mode
@@ -365,6 +376,16 @@ class EHEMCodec:
         if self.mesh is None or arr.shape[0] % self.mesh.devices.size:
             return arr
         return jax.device_put(arr, self._lane_spec(arr.ndim))
+
+    def _lane_sharded(self, lanes: int) -> bool:
+        """True when a grouped call's lane axis actually distributes over
+        the mesh (the sharding-layout test reads last_rows_sharding only
+        from such calls — subgroup leftovers replicate by design)."""
+        return (
+            self.mesh is not None
+            and lanes > 1
+            and lanes % self.mesh.devices.size == 0
+        )
 
     def _replicate(self, arr):
         return arr if self.mesh is None else jax.device_put(arr, self._rep_sharding)
@@ -797,7 +818,7 @@ class EHEMCodec:
                             self.variables, data_buf, pos_buf,
                             np.int32(s), clip, lo, scale, lanes, width,
                         )
-                        if lanes > 1:
+                        if self._lane_sharded(lanes):
                             self.last_rows_sharding = rows1.sharding
                     with self.timers.stage("dispatch_p2"):
                         evens, odds = self._syms_fn(
@@ -1016,7 +1037,7 @@ class EHEMCodec:
                         self.variables, data_buf, pos_buf,
                         np.int32(s), clip, lo, scale, lanes, width,
                     )
-                    if lanes > 1:
+                    if self._lane_sharded(lanes):
                         self.last_rows_sharding = rows1.sharding
                     p1_outs.append((s, lanes, width, rows1, f1, f2))
 
