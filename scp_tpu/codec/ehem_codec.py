@@ -724,7 +724,12 @@ class EHEMCodec:
         """Encode a sliced cloud -> (stream_bytes, bit_count, model_seconds)."""
         enc = self.new_stream_encoder()
         elapsed = self.encode_into(enc, slices, lidar_clip=lidar_clip)
-        stream, bits, _ = self.finish_stream(enc)
+        # the dispatch stages above return in ~0.2s; this stage is where
+        # the wall clock actually goes — the host blocking on the async
+        # device chain (model phases -> sf gathers -> rANS encode scans)
+        # at the payload fetch
+        with self.timers.stage("finish_chain"):
+            stream, bits, _ = self.finish_stream(enc)
         return stream, bits, elapsed
 
     def encode_into(self, enc, slices: LevelSlices, lidar_clip=None) -> float:

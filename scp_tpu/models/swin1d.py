@@ -59,6 +59,7 @@ class WindowAttention1D(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    cross: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,10 +77,24 @@ class WindowAttention1D(nn.Module):
         rel_idx = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
         rel_bias = bias_table[rel_idx].transpose(2, 0, 1)  # (H, W, W)
 
-        q_in = x if query is None else query
-        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="query")(q_in)
-        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="value")(x)
+        # projections ride ONE matmul where the inputs coincide (self mode:
+        # q|k|v fused; cross mode: k|v fused, q from the query stream) —
+        # one read of x instead of three and a wider MXU n-dim.  Old
+        # checkpoints with separate query/key/value kernels are migrated at
+        # load (checkpoints.fuse_qkv_params): concatenation is exact.
+        if self.cross:
+            q = nn.Dense(
+                self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="query"
+            )(query)
+            kv = nn.Dense(
+                2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
+            )(x)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = nn.Dense(
+                3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+            )(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             b, nw, ww, _ = t.shape
@@ -158,7 +173,8 @@ class SwinBlock1D(nn.Module):
         qw = to_windows(query) if self.cross else None
         mask = jnp.asarray(_shift_mask(padded, w, shift)) if shift else None
         out = WindowAttention1D(
-            c, cfg.num_heads, w, cfg.qkv_bias, dtype=self.dtype, name="attn"
+            c, cfg.num_heads, w, cfg.qkv_bias, cross=self.cross,
+            dtype=self.dtype, name="attn",
         )(xw, mask=mask, query=qw)
         out = out.reshape(b, padded, c)
         if shift:

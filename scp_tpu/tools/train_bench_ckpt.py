@@ -72,6 +72,13 @@ def main(argv=None):
     ap.add_argument("--out", default="checkpoints/ehem_synth_f16.npz")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--lr_step", type=int, default=0,
+        help="override StepLR step_size in epochs (synthetic epochs are "
+        "~300 steps, far shorter than the reference's KITTI epochs — long "
+        "runs need a rescaled decay to keep a usable LR)",
+    )
+    ap.add_argument("--lr_gamma", type=float, default=0.0)
+    ap.add_argument(
         "--small", action="store_true",
         help="tiny model + shapes (CPU smoke test of the recipe)",
     )
@@ -105,6 +112,10 @@ def main(argv=None):
     cfg.remat = True
     cfg.train.log_every = 25
     cfg.train.val_every = 250
+    if args.lr_step:
+        cfg.train.lr_scheduler.step_size = args.lr_step
+    if args.lr_gamma:
+        cfg.train.lr_scheduler.gamma = args.lr_gamma
 
     dataset = ShardDataset(
         root=cfg.data.root,

@@ -63,7 +63,7 @@ def load(path: str) -> dict:
 def load_variables(path: str) -> dict:
     """Checkpoint -> flax variables dict for model.apply."""
     payload = load(path)
-    variables = {"params": payload["params"]}
+    variables = {"params": fuse_qkv_params(payload["params"])}
     if payload.get("batch_stats"):
         variables["batch_stats"] = payload["batch_stats"]
     if payload.get("constants"):
@@ -81,7 +81,7 @@ def restore_state(path: str, template_state):
     step = int(meta.get("step", 0))
     new = dataclasses.replace(
         template_state,
-        params=payload["params"],
+        params=fuse_qkv_params(payload["params"]),
         batch_stats=payload.get("batch_stats") or template_state.batch_stats,
         opt_state=_restore_like(template_state.opt_state, payload.get("opt_state")),
         step=np.asarray(step, np.int32),
@@ -127,7 +127,50 @@ def load_params_npz(path: str) -> dict:
             node = node.setdefault(p, {})
         v = z[key]
         node[parts[-1]] = v.astype(np.float32) if v.dtype.kind == "f" else v
-    return params
+    return fuse_qkv_params(params)
+
+
+def fuse_qkv_params(tree: Any) -> Any:
+    """Migrate pre-fusion Swin attention params in place of load.
+
+    WindowAttention1D now projects with one fused Dense (self: q|k|v;
+    cross: q separate, k|v fused).  Checkpoints written before the fusion
+    carry separate query/key/value Dense scopes; concatenating their
+    kernels/biases along the output axis reproduces the fused projection
+    EXACTLY (a (C, C) x3 column-block concat is the (C, 3C) matmul).
+    Scopes under a `swin_cross` subtree keep `query` and get `kv`."""
+
+    def walk(node, in_cross):
+        if not isinstance(node, dict):
+            return node
+        if {"query", "key", "value"} <= set(node):
+
+            def cat(names):
+                parts = [node[n] for n in names]
+                out = {
+                    "kernel": np.concatenate(
+                        [np.asarray(p["kernel"]) for p in parts], axis=-1
+                    )
+                }
+                if all("bias" in p for p in parts):
+                    out["bias"] = np.concatenate(
+                        [np.asarray(p["bias"]) for p in parts], axis=-1
+                    )
+                return out
+
+            rest = {
+                k: walk(v, in_cross)
+                for k, v in node.items()
+                if k not in ("query", "key", "value")
+            }
+            if in_cross:
+                return {**rest, "query": node["query"], "kv": cat(["key", "value"])}
+            return {**rest, "qkv": cat(["query", "key", "value"])}
+        return {
+            k: walk(v, in_cross or k == "swin_cross") for k, v in node.items()
+        }
+
+    return walk(tree, False)
 
 
 def filter_compatible(pretrained: Any, reference: Any) -> Any:

@@ -186,3 +186,50 @@ def test_build_model_from_config():
     m2 = build_model(cfg2)
     assert isinstance(m2, OctAttention)
     assert cfg.data.context_size == 8192  # interpolation resolved
+
+
+def test_fused_qkv_checkpoint_migration(rng):
+    """Pre-fusion checkpoints (separate query/key/value Dense scopes) must
+    migrate to the fused layout with BIT-identical kernels: a column-block
+    concat of (C, C) kernels IS the (C, 3C) fused projection."""
+    from scp_tpu.train.checkpoints import fuse_qkv_params
+
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng, n=32)
+    variables = model.init(jax.random.PRNGKey(3), data, pos)
+    ref1, ref2 = model.apply(variables, data, pos, method=EHEM.encode_probs)
+
+    # render the fused tree back to the legacy layout, then migrate
+    def unfuse(node, in_cross=False):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "qkv":
+                kern = np.asarray(v["kernel"])
+                q, kk, vv = np.split(kern, 3, axis=-1)
+                for name, part in (("query", q), ("key", kk), ("value", vv)):
+                    out[name] = {"kernel": part}
+                if "bias" in v:
+                    bq, bk, bv = np.split(np.asarray(v["bias"]), 3)
+                    out["query"]["bias"] = bq
+                    out["key"]["bias"] = bk
+                    out["value"]["bias"] = bv
+            elif k == "kv":
+                kern = np.asarray(v["kernel"])
+                kk, vv = np.split(kern, 2, axis=-1)
+                out["key"] = {"kernel": kk}
+                out["value"] = {"kernel": vv}
+                if "bias" in v:
+                    bk, bv = np.split(np.asarray(v["bias"]), 2)
+                    out["key"]["bias"] = bk
+                    out["value"]["bias"] = bv
+            else:
+                out[k] = unfuse(v, in_cross or k == "swin_cross")
+        return out
+
+    legacy = unfuse(jax.tree_util.tree_map(np.asarray, variables))
+    migrated = fuse_qkv_params(legacy)
+    m1, m2 = model.apply(migrated, data, pos, method=EHEM.encode_probs)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(ref1))
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(ref2))
