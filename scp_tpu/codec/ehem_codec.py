@@ -156,7 +156,14 @@ def _call_plan(n: int, csz: int, group: int, small: int):
         s += sub * csz
         left -= sub
     if rem:
-        b = small if rem <= small else csz
+        # partial tail in the smallest covering pow2 bucket (small..csz):
+        # a 1.2k-node level runs a (1, 2048) program, not (1, 8192) — the
+        # extra shapes compile once and the pad work drops ~4x on the
+        # shallow-level tail
+        b = small
+        while b < rem:
+            b *= 2
+        b = min(b, csz)
         calls.append((s, 1, b))
         s += b
     return calls, s
@@ -562,6 +569,8 @@ class EHEMCodec:
             f"exact_knn={1 if os.environ.get('SCP_EXACT_KNN') else 0};"
             f"pallas_attn={1 if os.environ.get('SCP_PALLAS_ATTN') else 0};"
             f"group={self.group_size};"
+            f"tiny={self.TINY_UNIFORM_MAX};"
+            f"plan=pow2sub;"  # call-plan generation (subgroups + tail buckets)
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 
@@ -764,10 +773,11 @@ class EHEMCodec:
     # -- rans mode --
 
     # Levels this small are all chain latency and no information: code them
-    # against a fixed uniform prior (a 255-way uniform costs ~8 bits/node
-    # on a handful of nodes ≈ 0.1% of a cloud's stream) and skip the model
-    # round-trip entirely.  Encoder and decoder branch on the same n.
-    TINY_UNIFORM_MAX = 16
+    # against a fixed uniform prior and skip the model round-trip entirely.
+    # At 512 the uniform tail of a KITTI L16 cloud is ~330 nodes x ~5 extra
+    # bits ≈ 0.01 bpp, for two fewer phase call pairs + rANS scans per
+    # direction.  Encoder and decoder branch on the same header n.
+    TINY_UNIFORM_MAX = 512
 
     def _uniform_rows(self):
         import jax.numpy as jnp
