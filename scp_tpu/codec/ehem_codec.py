@@ -129,7 +129,7 @@ def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
-def _call_plan(n: int, csz: int, group: int, small: int):
+def _call_plan(n: int, csz: int, group: int, small: int, mesh_mult: int = 0):
     """Static per-level call layout: [(row_start, lanes, width)] in chunk
     order (grouped full chunks, leftover full chunks, one bucketed partial)
     plus the padded row count.  Encoder and decoder derive this from the
@@ -143,18 +143,24 @@ def _call_plan(n: int, csz: int, group: int, small: int):
     for _ in range(0, grouped, group):
         calls.append((s, group, csz))
         s += group * csz
-    # leftover full chunks in power-of-two lane subgroups (16, 8, 4, 2, 1):
-    # a 24-chunk level runs as (16)+(8), not (16)+8x(1) — single-lane calls
-    # measured ~35% slower per node than grouped ones
+    # leftover full chunks ride ONE call with the exact lane count: a KITTI
+    # L16 cloud's ~120k-node levels are 14 full chunks — (14, 8192) beats
+    # (8)+(4)+(2) (single- and few-lane calls measured ~35% slower per
+    # node).  Distinct lane counts compile once each and persist in the
+    # XLA cache; real clouds cluster on a handful of counts.
     left = full - grouped
-    sub = 1 << (max(int(group), 1).bit_length() - 1)  # largest pow2 <= group
-    while left:
-        while sub > left:
-            sub //= 2
-        sub = max(sub, 1)
-        calls.append((s, sub, csz))
-        s += sub * csz
-        left -= sub
+    if mesh_mult > 1:
+        # sharded codec: keep leftover lane counts divisible by the mesh
+        # (a 14-chunk leftover runs (8)+(6->replicated) instead of one
+        # replicated 14-lane call)
+        while left >= mesh_mult:
+            take = (min(left, group) // mesh_mult) * mesh_mult
+            calls.append((s, take, csz))
+            s += take * csz
+            left -= take
+    if left:
+        calls.append((s, left, csz))
+        s += left * csz
     if rem:
         # partial tail in the smallest covering pow2 bucket (small..csz):
         # a 1.2k-node level runs a (1, 2048) program, not (1, 8192) — the
@@ -516,12 +522,13 @@ class EHEMCodec:
         buffer shapes, and each compile costs real wall-clock over the
         TPU tunnel)."""
         csz, g, small = self.context_size, self.group_size, self._small_bucket
+        mm = 0 if self.mesh is None else self.mesh.devices.size
         plans = []
         for n in level_sizes:
             if n <= self.TINY_UNIFORM_MAX:
                 plans.append(([], n))
             else:
-                plans.append(_call_plan(n, csz, g, small))
+                plans.append(_call_plan(n, csz, g, small, mesh_mult=mm))
         b_cap = _pow2(max(p[1] for p in plans))
         e_cap = max(rans.CHUNK, b_cap // 2)
         return plans, b_cap, e_cap
@@ -570,7 +577,7 @@ class EHEMCodec:
             f"pallas_attn={1 if os.environ.get('SCP_PALLAS_ATTN') else 0};"
             f"group={self.group_size};"
             f"tiny={self.TINY_UNIFORM_MAX};"
-            f"plan=pow2sub;"  # call-plan generation (subgroups + tail buckets)
+            f"plan=exact_left;"  # call-plan generation (lane layout + buckets)
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 
