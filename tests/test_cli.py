@@ -187,6 +187,12 @@ def test_reference_style_cache_interop(tmp_path, rng, tiny_run):
         lidar_level=12, system="spher", preproc_path=pre_dir + "/",
     )
     gt = np.load(os.path.join(pre_dir, "scanR.npy"))[:, -1, 0].astype(np.int16) - 1
+    # the v5 header makes the stream self-contained: strip EVERY sidecar
+    # the encoder left next to the .bin and decode from the bare file
+    for f in os.listdir(out_dir):
+        p = os.path.join(out_dir, f)
+        if p != stats["outputfile"] and os.path.isfile(p):
+            os.remove(p)
     pts, _ = session.decode_file(stats["outputfile"], ground_truth=gt)
     quant = np.loadtxt(
         os.path.join(pre_dir, "scanR_quant.ply"), skiprows=7, dtype=np.float64
