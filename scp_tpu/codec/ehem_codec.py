@@ -137,6 +137,13 @@ def _call_plan(n: int, csz: int, group: int, small: int, mesh_mult: int = 0):
     compiled phase programs — agree structurally."""
     full = n // csz
     rem = n - full * csz
+    # a tail past half a chunk rides the last call as ONE MORE LANE (pads
+    # land only at that lane's end, so the level-flat parity layout is
+    # unchanged): a 120k-node level is a single (15, 8192) call, not
+    # (14, 8192) + (1, 8192-partial)
+    if full and rem * 2 > csz:
+        full += 1
+        rem = 0
     calls = []
     s = 0
     grouped = (full // group) * group

@@ -1,7 +1,12 @@
 """Per-submodule device-time breakdown of the EHEM phase-1 trunk.
 
-Times (at group lanes x 8192): DGCNN geo alone, self-Swin alone,
-ancient_mlp+heads alone, and the assembled phase 1 — on the live chip.
+WARNING — numbers from this harness proved UNRELIABLE on the axon
+backend: feeding one jit's output array into a second jit and timing the
+second call measured ~9x the end-to-end fused program (swin "1.2 s"
+inside a p1 that measures 0.146 s total), consistent with the lazy
+buffer graph re-running upstream programs on each fetch.  Trust
+prof_wavefront.py (fused programs, single-element fetches) and the
+end-to-end bench instead.  Kept for the record.
 
     python scratch/prof_submodules.py --group 16
 """

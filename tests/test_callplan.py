@@ -47,6 +47,15 @@ def test_partial_tail_uses_smallest_covering_bucket():
     assert [(la, w) for _, la, w in calls] == [(1, CSZ), (1, 2048)]
 
 
+def test_large_tail_merges_into_leftover_call():
+    # 120k nodes = 14 full chunks + 5312 tail (> csz/2): ONE 15-lane call
+    calls, _ = _call_plan(120000, CSZ, GROUP, SMALL)
+    assert [(la, w) for _, la, w in calls] == [(15, CSZ)]
+    # tail exactly half a chunk or less keeps its own bucketed call
+    calls, _ = _call_plan(24 * CSZ + 3392, CSZ, GROUP, SMALL)
+    assert [(la, w) for _, la, w in calls] == [(16, CSZ), (8, CSZ), (1, 4096)]
+
+
 def test_pow2():
     assert [_pow2(v) for v in (1, 2, 3, 8, 9, 1023, 1024)] == [
         1, 2, 4, 8, 16, 1024, 1024,
