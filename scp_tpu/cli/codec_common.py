@@ -62,10 +62,19 @@ def _level_counts(ctx: np.ndarray, max_level: int) -> np.ndarray:
 
 class CodecSession:
     def __init__(self, ckpt_path: str, run_dir: str):
+        import jax.numpy as jnp
+
         self.cfg = load_run_config(run_dir)
-        self.model = build_model(self.cfg)
-        self.variables = checkpoints.load_variables(ckpt_path)
         self.is_ehem = self.cfg.model.class_name.upper().startswith("EHEM")
+        # EHEM phase chain runs bf16 by default (matches bench.py: ~same
+        # rate as f32, MXU-native on TPU); SCP_CODEC_DTYPE=f32 opts out.
+        # Params stay f32 — dtype only sets the Flax compute dtype.  The
+        # dtype is stamped in coding_params, so enc/dec mismatch is
+        # refused rather than silently desyncing the stream.
+        dt = os.environ.get("SCP_CODEC_DTYPE", "bf16" if self.is_ehem else "f32")
+        dtype = jnp.bfloat16 if dt in ("bf16", "bfloat16") else jnp.float32
+        self.model = build_model(self.cfg, dtype=dtype)
+        self.variables = checkpoints.load_variables(ckpt_path)
         if self.is_ehem:
             self.codec = EHEMCodec(
                 self.model, self.variables, self.cfg.model.context_size

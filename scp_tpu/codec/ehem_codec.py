@@ -577,6 +577,8 @@ class EHEMCodec:
         mismatch (same contract as the backend stamp).  Numeric knobs are
         canonicalized (repr of the parsed value) so numerically identical
         settings ("0.850" vs "0.85") stamp identically on both sides."""
+        import jax.numpy as jnp
+
         recall = repr(float(os.environ.get("SCP_KNN_RECALL", 0.85)))
         return (
             f"knn_recall={recall};"
@@ -584,7 +586,8 @@ class EHEMCodec:
             f"pallas_attn={1 if os.environ.get('SCP_PALLAS_ATTN') else 0};"
             f"group={self.group_size};"
             f"tiny={self.TINY_UNIFORM_MAX};"
-            f"plan=exact_left;"  # call-plan generation (lane layout + buckets)
+            f"dtype={jnp.dtype(self.model.dtype).name};"
+            f"plan=tailmerge;"  # call-plan generation (lane layout + buckets)
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 
