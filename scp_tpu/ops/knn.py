@@ -87,17 +87,71 @@ def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
     return idx[:, :n]
 
 
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`jnp.take(table, idx, axis=0)` with a sort-based segment-sum VJP.
+
+    The default VJP of a duplicate-index gather is a scatter-add.  This
+    backward contains NO scatter: sort the cotangent rows by target index
+    (one lax.sort of M int32 keys), prefix-sum them in f32, and difference
+    the prefix at the segment boundaries found by searchsorted — gathers
+    only.  f32 accumulation over the ~1.3M-row prefix keeps the boundary
+    differences accurate to ~1e-5 relative (verified against the
+    scatter-add oracle in tests/test_ops.py).
+
+    Measured on a v5e chip at batch 8x8192 (scratch/prof_p1_split.py):
+    the sort-based backward is ~20% SLOWER per train step than XLA's
+    scatter-add (the log-pass cumsum over 1.3M rows dominates), so
+    `gather_neighbors` keeps the scatter-add VJP by default and this
+    path stays available for A/B via SCP_SORT_GATHER_BWD=1.
+    """
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_fwd(table, idx):
+    # zero-size proxy carries the table's (rows, dtype) through residuals
+    proxy = jnp.zeros((table.shape[0], 0), table.dtype)
+    return jnp.take(table, idx, axis=0), (idx, proxy)
+
+
+def _take_rows_bwd(res, g):
+    import numpy as np
+
+    idx, proxy = res
+    rows, dt = proxy.shape[0], proxy.dtype
+    m, c = g.shape
+    iota = jnp.arange(m, dtype=jnp.int32)
+    sidx, order = jax.lax.sort((idx.astype(jnp.int32), iota), num_keys=1)
+    gs = jnp.take(g, order, axis=0).astype(jnp.float32)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(gs, axis=0)], axis=0
+    )
+    bounds = jnp.searchsorted(sidx, jnp.arange(rows + 1, dtype=jnp.int32))
+    grad = jnp.take(csum, bounds[1:], axis=0) - jnp.take(csum, bounds[:-1], axis=0)
+    return grad.astype(dt), np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """feats (B, N, C), idx (B, N, k) -> (B, N, k, C).
 
     Lowered as ONE flat row-gather over a (B*N, C) table: ~5x faster on
     TPU than the batched advanced-indexing gather vmap produces (measured
-    3 ms vs 14 ms for (8, 8192, 20, 128) bf16 on a v5e chip).
+    3 ms vs 14 ms for (8, 8192, 20, 128) bf16 on a v5e chip).  The
+    backward is XLA's scatter-add; SCP_SORT_GATHER_BWD=1 swaps in the
+    sort-based segment-sum VJP of `take_rows` (measured slower, kept
+    for A/B — see its docstring).
     """
     b, n, c = feats.shape
     flat = feats.reshape(b * n, c)
     base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
-    out = jnp.take(flat, (idx + base).reshape(-1), axis=0)
+    flat_idx = (idx + base).reshape(-1)
+    if os.environ.get("SCP_SORT_GATHER_BWD"):
+        out = take_rows(flat, flat_idx)
+    else:
+        out = jnp.take(flat, flat_idx, axis=0)
     return out.reshape(b, idx.shape[1], idx.shape[2], c)
 
 

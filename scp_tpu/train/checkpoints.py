@@ -45,7 +45,12 @@ def latest_checkpoint(run_dir: str) -> str | None:
     d = _ckpt_dir(run_dir)
     if not os.path.isdir(d):
         return None
-    names = [n for n in os.listdir(d) if n.startswith("epoch=")]
+    # a killed run can leave an incomplete "<name>.orbax-checkpoint-tmp"
+    # dir behind; only complete checkpoints (integer step suffix) count
+    names = [
+        n for n in os.listdir(d)
+        if n.startswith("epoch=") and n.split("step=")[-1].isdigit()
+    ]
     if not names:
         return None
 

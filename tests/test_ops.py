@@ -52,6 +52,57 @@ def test_gather_and_edges(rng):
     np.testing.assert_allclose(e[0, 3, 2, 4:], feats[0, 3])
 
 
+def test_take_rows_sort_bwd_matches_scatter(rng):
+    """The sort-based segment-sum VJP equals the scatter-add VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from scp_tpu.ops.knn import take_rows
+
+    table = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = rng.integers(0, 64, 300).astype(np.int32)  # heavy duplication
+    ct = rng.standard_normal((300, 8)).astype(np.float32)
+
+    out, vjp = jax.vjp(lambda t: take_rows(t, idx), table)
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+    got = np.asarray(vjp(jnp.asarray(ct))[0])
+
+    ref_out, ref_vjp = jax.vjp(lambda t: jnp.take(t, idx, axis=0), table)
+    ref = np.asarray(ref_vjp(jnp.asarray(ct))[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # rows never gathered get exactly zero gradient
+    mask = np.ones(64, bool)
+    mask[np.unique(idx)] = False
+    assert (got[mask] == 0).all()
+
+
+def test_gather_neighbors_grad_through_model_path(rng, monkeypatch):
+    """gather_neighbors stays differentiable under the opt-in sort-based
+    VJP (SCP_SORT_GATHER_BWD=1) and its gradient matches scatter-add."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("SCP_SORT_GATHER_BWD", "1")
+    feats = rng.random((2, 40, 4), dtype=np.float32)
+    idx = jnp.asarray(rng.integers(0, 40, (2, 40, 6)), jnp.int32)
+
+    def loss(f):
+        return jnp.sum(jnp.sin(gather_neighbors(f, idx)))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(feats)))
+
+    def ref_loss(f):
+        b, n, c = f.shape
+        flat = f.reshape(b * n, c)
+        base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
+        nb = jnp.take(flat, (idx + base).reshape(-1), axis=0)
+        return jnp.sum(jnp.sin(nb.reshape(b, 40, 6, c)))
+
+    ref = np.asarray(jax.grad(ref_loss)(jnp.asarray(feats)))
+    # f32 prefix-sum reassociation: ~1e-5 relative vs the scatter oracle
+    np.testing.assert_allclose(g, ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_pallas_knn_interpret_matches_xla(rng):
     from scp_tpu.ops.pallas_knn import knn_pallas
