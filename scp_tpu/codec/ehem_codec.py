@@ -588,6 +588,12 @@ class EHEMCodec:
             f"tiny={self.TINY_UNIFORM_MAX};"
             f"dtype={jnp.dtype(self.model.dtype).name};"
             f"plan=tailmerge;"  # call-plan generation (lane layout + buckets)
+            # trunk implementation toggles (all change the phase programs'
+            # float math): fused multiscale heads, folded inference BN,
+            # score-matrix storage dtype
+            f"msfuse={0 if os.environ.get('SCP_NO_MSFUSE') else 1};"
+            f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
+            f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 

@@ -10,6 +10,8 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,17 +42,39 @@ class EdgeConv(nn.Module):
         z = jnp.zeros_like(feats)
         a = dense(jnp.concatenate([feats, z], -1))  # feats @ W1   (B, N, F)
         bc = dense(jnp.concatenate([-feats, feats], -1))  # feats @ (W2 - W1)
-        h = gather_neighbors(a, idx) + bc[:, :, None, :]  # (B, N, k, F)
-        h = nn.BatchNorm(
+        bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
             axis_name=None,
             name="bn",
-        )(h)
-        h = nn.leaky_relu(h, negative_slope=0.2)
-        return jnp.max(h, axis=2)  # (B, N, F)
+        )
+        if train or self.is_initializing() or os.environ.get("SCP_NO_BNFOLD"):
+            h = gather_neighbors(a, idx) + bc[:, :, None, :]  # (B, N, k, F)
+            h = bn(h)
+            h = nn.leaky_relu(h, negative_slope=0.2)
+            return jnp.max(h, axis=2).astype(self.dtype)  # (B, N, F)
+        # Inference: BatchNorm is a per-channel affine, and the edge tensor
+        # is gather(a) + bc with bc constant across the k neighbors, so
+        # fold BN BEFORE the gather and reduce BEFORE the affine:
+        #   max_k leaky(BN(gather(a) + bc))
+        #     = leaky(max_k(gather(a*s)) + (bc*s + t))
+        # (the per-center term and the monotone leaky_relu both commute
+        # with the neighbor max; the per-channel scale s applies uniformly
+        # across k, so its sign is irrelevant to the max).  The (B, N, k, F)
+        # edge tensor collapses at the gather into a single fused
+        # gather+max; nothing k-wide is written back to HBM, no f32 upcast,
+        # and the output stays bf16 (keeping the NEXT round's KNN distance
+        # matmul on the MXU's bf16 path instead of promoting it to f32).
+        p = bn.variables["params"]
+        st = bn.variables["batch_stats"]
+        s = (p["scale"] / jnp.sqrt(st["var"] + 1e-5)).astype(jnp.float32)
+        t = (p["bias"] - st["mean"] * s).astype(jnp.float32)
+        a = (a.astype(jnp.float32) * s).astype(self.dtype)
+        bc = (bc.astype(jnp.float32) * s + t).astype(self.dtype)
+        h = jnp.max(gather_neighbors(a, idx), axis=2) + bc  # (B, N, F)
+        return nn.leaky_relu(h, negative_slope=0.2)
 
 
 class GeoFeatGenerator(nn.Module):

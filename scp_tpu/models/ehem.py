@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from scp_tpu.models.dgcnn import GeoFeatGenerator
 from scp_tpu.models.layers import MLP
-from scp_tpu.models.swin1d import SwinConfig, SwinEncoder1D, concat_multiscale
+from scp_tpu.models.swin1d import SwinConfig, SwinEncoder1D
 
 
 class EHEM(nn.Module):
@@ -90,7 +90,9 @@ class EHEM(nn.Module):
         flat = data.reshape(b, n, -1)[:, :, :-1]  # drop current node's occ
         feat = self.geo(flat, pos, train=train)
         states = self.swin_self(feat)
-        feat_a = self.ancient_mlp(concat_multiscale(states))
+        # fused multiscale head: states[1:] projected per-resolution (exact
+        # repartition of ancient_mlp's first kernel; reference ehem.py:75-86)
+        feat_a = self.ancient_mlp.multiscale(states[1:])
         return feat_a[:, ::2], feat_a[:, 1::2]
 
     def _phase2(self, feat_a1, feat_a2, pre_occ):
@@ -103,9 +105,11 @@ class EHEM(nn.Module):
             axis=-1,
         )  # (B, N/2, 256)
         states = self.swin_cross(key, query=feat_a2)
-        cross_cat = concat_multiscale(states)  # (B, N/2, 1024)
-        h = jnp.concatenate([cross_cat, feat_a2], axis=-1)
-        return self.prob_pred_mlp2(h).astype(jnp.float32)
+        # concat([multiscale (1024), feat_a2 (256)]) -> mlp2, with the
+        # first kernel split per stage + query block (exact repartition)
+        return self.prob_pred_mlp2.multiscale(
+            states[1:], extra=feat_a2
+        ).astype(jnp.float32)
 
     # ---- entry points -----------------------------------------------------
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -21,6 +22,18 @@ def sinusoidal_position_table(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
+def nearest_up(x: jnp.ndarray, factor: int, length: int) -> jnp.ndarray:
+    """Nearest-repeat upsample along axis 1 and truncate to `length`.
+
+    Equivalent to the reference's repeated x2 `repeat_state` climb
+    (ehem.py:72-73): each climb step maps index i -> i // 2 and truncates
+    only the tail, so the composition over j steps is i -> i // 2**j —
+    one repeat by 2**j plus one truncate."""
+    if factor == 1:
+        return x[:, :length]
+    return jnp.repeat(x, factor, axis=1)[:, :length]
+
+
 class MLP(nn.Module):
     """Linear stack with LeakyReLU between layers (EHEM's MLP idiom)."""
 
@@ -28,12 +41,62 @@ class MLP(nn.Module):
     negative_slope: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            nn.Dense(f, dtype=self.dtype, name=f"dense_{i}")
+            for i, f in enumerate(self.features)
+        ]
+
     def __call__(self, x):
-        for i, f in enumerate(self.features):
-            x = nn.Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
-            if i < len(self.features) - 1:
+        for i, layer in enumerate(self.layers):
+            x = layer(x)
+            if i < len(self.layers) - 1:
                 x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
+
+    def multiscale(self, pyramid: Sequence[jnp.ndarray], extra=None):
+        """Apply the stack to concat([up(p) for p in pyramid] + [extra])
+        WITHOUT materializing the upsampled concat: the first Dense is an
+        exact row-block repartition of its kernel, so each pyramid stage is
+        projected at its OWN resolution and only the (cheap, already
+        F0-wide) projections are nearest-repeat upsampled and summed.
+
+        Same function as the reference's concat_states + first Linear
+        (ehem.py:75-86, 34-40) with ~2.6x fewer first-layer FLOPs on the
+        5-stage self pyramid (resolution factors 1+1/2+1/4+1/8+1/16 vs 5)
+        and no (N, 1280) concat round-trip through HBM.  `extra` is an
+        optional full-resolution trailing channel block (phase-2's query
+        features).  SCP_NO_MSFUSE=1 restores the materialized-concat path
+        (A/B; both paths share the identical parameters)."""
+        full_len = pyramid[0].shape[1]
+        d0 = self.layers[0]
+        if self.is_initializing() or os.environ.get("SCP_NO_MSFUSE"):
+            parts = [
+                nearest_up(p, 1 << i, full_len) for i, p in enumerate(pyramid)
+            ]
+            if extra is not None:
+                parts.append(extra)
+            x = d0(jnp.concatenate(parts, axis=-1))
+        else:
+            kernel = d0.variables["params"]["kernel"].astype(self.dtype)
+            bias = d0.variables["params"]["bias"].astype(self.dtype)
+            off = 0
+            acc = None
+            for i, p in enumerate(pyramid):
+                c = p.shape[-1]
+                y = p.astype(self.dtype) @ kernel[off : off + c]
+                off += c
+                y = nearest_up(y, 1 << i, full_len)
+                acc = y if acc is None else acc + y
+            if extra is not None:
+                c = extra.shape[-1]
+                acc = acc + extra.astype(self.dtype) @ kernel[off : off + c]
+                off += c
+            assert off == kernel.shape[0], (off, kernel.shape)
+            x = acc + bias
+        for i, layer in enumerate(self.layers[1:], start=1):
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+            x = layer(x)
         return x
 
 

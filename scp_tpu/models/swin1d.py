@@ -98,9 +98,12 @@ class WindowAttention1D(nn.Module):
 
         def heads(t):
             b, nw, ww, _ = t.shape
-            return t.reshape(b, nw, ww, h, hd).transpose(0, 1, 3, 2, 4)
+            # head dim stays interior — no materialized (W, H) transpose;
+            # the einsums below treat (b, n, h) as batch dims and let XLA
+            # pick the layout
+            return t.reshape(b, nw, ww, h, hd)
 
-        q, k, v = heads(q), heads(k), heads(v)  # (B, nW, H, W, hd)
+        q, k, v = heads(q), heads(k), heads(v)  # (B, nW, W, H, hd)
         b, nw = q.shape[:2]
         from scp_tpu.ops import pallas_attn
 
@@ -117,19 +120,19 @@ class WindowAttention1D(nn.Module):
                 else jnp.zeros((1, w, w), jnp.float32)
             )
             out = pallas_attn.window_attention_fused(
-                q.reshape(b * nw, h, w, hd),
-                k.reshape(b * nw, h, w, hd),
-                v.reshape(b * nw, h, w, hd),
+                q.transpose(0, 1, 3, 2, 4).reshape(b * nw, h, w, hd),
+                k.transpose(0, 1, 3, 2, 4).reshape(b * nw, h, w, hd),
+                v.transpose(0, 1, 3, 2, 4).reshape(b * nw, h, w, hd),
                 rel_bias.astype(jnp.float32),
                 mask_in,
                 1.0 / float(np.sqrt(hd)),
-            ).reshape(b, nw, h, w, hd)
+            ).reshape(b, nw, h, w, hd).transpose(0, 1, 3, 2, 4)
         else:
             # keep the (..., W, W) score/weight tensors in the compute
             # dtype; the max-sub/exp/normalize chain fuses elementwise
             # (f32 internally)
             scores = jnp.einsum(
-                "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=self.dtype
+                "bnqhd,bnkhd->bnhqk", q, k, preferred_element_type=self.dtype
             ) * jnp.asarray(1.0 / np.sqrt(hd), self.dtype)
             scores = scores + rel_bias[None, None].astype(self.dtype)
             if mask is not None:
@@ -139,9 +142,9 @@ class WindowAttention1D(nn.Module):
             attn = e / jnp.sum(
                 e.astype(jnp.float32), axis=-1, keepdims=True
             ).astype(self.dtype)
-            out = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
+            out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v)
         b, nw = out.shape[:2]
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, w, self.dim)
+        out = out.reshape(b, nw, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

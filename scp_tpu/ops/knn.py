@@ -56,15 +56,32 @@ def knn_indices(feats: jnp.ndarray, k: int) -> jnp.ndarray:
     return _knn_xla(feats, k)
 
 
+def _score_dtype(feats: jnp.ndarray) -> jnp.dtype:
+    """Storage dtype for the (N, N) score matrix — the single largest HBM
+    tensor of the trunk (16 lanes x 8192^2 x 3 graphs = 26 GB/call in f32).
+
+    Scores are computed with f32 accumulation (cancellation-safe: the
+    2ab - a^2 - b^2 form is exact negated squared distance, so values near
+    the top-k are near ZERO where floating point is fine-grained), then
+    stored in the feature dtype: bf16 halves the matmul-epilogue write and
+    the top-k read.  SCP_KNN_F32=1 restores f32 storage (A/B)."""
+    if feats.dtype == jnp.bfloat16 and not os.environ.get("SCP_KNN_F32"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
     b, n, c = feats.shape
-    sq = jnp.sum(feats * feats, axis=-1)  # (B, N)
+    sq = jnp.sum(
+        feats.astype(jnp.float32) * feats.astype(jnp.float32), axis=-1
+    )  # (B, N)
+    sdt = _score_dtype(feats)
 
     if n <= _KNN_CHUNK:
         scores = 2.0 * jnp.einsum(
             "bnc,bmc->bnm", feats, feats, preferred_element_type=jnp.float32
         )
-        scores = scores - sq[:, :, None] - sq[:, None, :]
+        scores = (scores - sq[:, :, None] - sq[:, None, :]).astype(sdt)
         return _top_k(scores, k)
 
     n_chunks = -(-n // _KNN_CHUNK)
@@ -79,7 +96,7 @@ def _knn_xla(feats: jnp.ndarray, k: int) -> jnp.ndarray:
         s = 2.0 * jnp.einsum(
             "bqc,bmc->bqm", qc, feats, preferred_element_type=jnp.float32
         )
-        s = s - qsqc[:, :, None] - sq[:, None, :]
+        s = (s - qsqc[:, :, None] - sq[:, None, :]).astype(sdt)
         return _top_k(s, k)
 
     idx = jax.lax.map(one_chunk, (q.transpose(1, 0, 2, 3), q_sq.transpose(1, 0, 2)))

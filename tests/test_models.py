@@ -233,3 +233,35 @@ def test_fused_qkv_checkpoint_migration(rng):
     m1, m2 = model.apply(migrated, data, pos, method=EHEM.encode_probs)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(ref1))
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(ref2))
+
+
+def test_ehem_fused_multiscale_matches_concat(rng, monkeypatch):
+    """The fused multiscale heads (per-stage kernel repartition,
+    layers.MLP.multiscale) must equal the materialized-concat oracle
+    (SCP_NO_MSFUSE=1) — same parameters, same function."""
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng, n=63)  # odd: exercises pad+truncate
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    fused = np.asarray(model.apply(variables, data, pos))
+    monkeypatch.setenv("SCP_NO_MSFUSE", "1")
+    oracle = np.asarray(model.apply(variables, data, pos))
+    np.testing.assert_allclose(fused, oracle, atol=2e-4)
+
+
+def test_edgeconv_bn_fold_matches_batchnorm(rng, monkeypatch):
+    """Inference BatchNorm folded into the pre-gather affine must equal the
+    explicit BatchNorm path, including after a simulated training update
+    that moves the running stats away from init."""
+    model = tiny_ehem()
+    data, pos = make_ehem_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    # move running stats off their (0, 1) init so the fold is non-trivial
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    folded = np.asarray(model.apply(variables, data, pos))
+    monkeypatch.setenv("SCP_NO_BNFOLD", "1")
+    oracle = np.asarray(model.apply(variables, data, pos))
+    np.testing.assert_allclose(folded, oracle, atol=2e-4)
