@@ -39,9 +39,19 @@ class EdgeConv(nn.Module):
         dense = nn.Dense(
             self.features, use_bias=False, dtype=self.dtype, name="conv"
         )
-        z = jnp.zeros_like(feats)
-        a = dense(jnp.concatenate([feats, z], -1))  # feats @ W1   (B, N, F)
-        bc = dense(jnp.concatenate([-feats, feats], -1))  # feats @ (W2 - W1)
+        if self.is_initializing():
+            z = jnp.zeros_like(feats)
+            a = dense(jnp.concatenate([feats, z], -1))  # feats @ W1
+            bc = dense(jnp.concatenate([-feats, feats], -1))  # feats @ (W2-W1)
+        else:
+            # same (2C, F) kernel, applied as explicit row blocks: the
+            # concat([feats, zeros]) form multiplies a zero block XLA does
+            # not eliminate — slicing halves the dense FLOPs
+            kern = dense.variables["params"]["kernel"].astype(self.dtype)
+            c = feats.shape[-1]
+            f = feats.astype(self.dtype)
+            a = f @ kern[:c]  # feats @ W1   (B, N, F)
+            bc = f @ (kern[c:] - kern[:c])  # feats @ (W2 - W1)
         bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
