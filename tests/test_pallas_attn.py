@@ -65,3 +65,31 @@ def test_fused_backward_runs():
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
     finally:
         pallas_attn._fused_fwd_impl = orig
+
+
+def test_window_attention_module_pallas_branch_matches_xla(monkeypatch):
+    """WindowAttention1D's pallas branch (kernel in interpret mode) must
+    equal its XLA branch — guards the head-layout plumbing between the
+    transpose-free einsum path and the kernel's (B*nW, H, W, hd) layout."""
+    import jax
+
+    from scp_tpu.models.swin1d import SwinConfig, SwinEncoder1D
+    from scp_tpu.ops import pallas_attn
+
+    cfg = SwinConfig(embed_dim=32, depths=(2,), num_heads=2, window_size=128)
+    enc = SwinEncoder1D(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 256, 32)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), x)
+    ref = enc.apply(v, x)
+
+    orig = pallas_attn._fused_fwd_impl
+    monkeypatch.setattr(pallas_attn, "supported", lambda w, hd: True)
+    monkeypatch.setattr(
+        pallas_attn, "_fused_fwd_impl",
+        lambda *a, **kw: orig(*a, interpret=True),
+    )
+    monkeypatch.setenv("SCP_PALLAS_ATTN", "1")
+    out = enc.apply(v, x)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
