@@ -38,7 +38,40 @@ def synth_kitti(rng, n):
     return gen(rng, n)
 
 
+def _wait_for_backend(budget_s: float = 1800.0) -> None:
+    """The axon tunnel drops for multi-minute windows; don't let the
+    round-end bench die on one.  Probe with a tiny program in a child
+    process (a stalled init can wedge the parent's backend state) and
+    block up to `budget_s` until the chip answers."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    probe = (
+        "import jax\n"
+        "x = jax.jit(lambda a: a + 1)(jax.numpy.ones((8, 8)))\n"
+        "assert float(x.sum()) == 128.0\n"
+    )
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=120,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.time() > deadline:
+            print("# WARNING: TPU backend unreachable after "
+                  f"{budget_s:.0f}s of probing", file=sys.stderr)
+            return
+        print("# backend probe failed; retrying in 120s", file=sys.stderr)
+        time.sleep(120)
+
+
 def main():
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
