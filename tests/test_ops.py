@@ -112,3 +112,23 @@ def test_pallas_knn_interpret_matches_xla(rng):
     idx_p = np.asarray(knn_pallas(feats, k, interpret=True))
     idx_x = np.asarray(_knn_xla(feats, k))
     same_neighbor_sets(idx_p, idx_x, feats)
+
+
+def test_knn_bf16_scores_recall(rng, monkeypatch):
+    """bf16 score storage (the TPU default for bf16 features) must keep
+    near-perfect neighbor recall vs f32 scores: scores are exact negated
+    squared distances, so top-k candidates sit near zero where bf16 is
+    fine-grained."""
+    import jax.numpy as jnp
+
+    from scp_tpu.ops.knn import knn_indices
+
+    pts = rng.random((2, 512, 3), np.float32)
+    f32_idx = np.asarray(knn_indices(jnp.asarray(pts), 8))
+    bf_idx = np.asarray(knn_indices(jnp.asarray(pts, jnp.bfloat16), 8))
+    agree = [
+        len(set(f32_idx[b, i]) & set(bf_idx[b, i])) / 8.0
+        for b in range(2)
+        for i in range(512)
+    ]
+    assert np.mean(agree) > 0.9, np.mean(agree)
