@@ -72,6 +72,16 @@ def main(argv=None):
     ap.add_argument("--out", default="checkpoints/ehem_synth_f16.npz")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--init_npz", default="",
+        help="warm-start params from a committed .npz bench checkpoint "
+        "(fresh optimizer state; use when the orbax run dir is gone)",
+    )
+    ap.add_argument(
+        "--lr_scale", type=float, default=1.0,
+        help="scale the base LR (continuation runs start part-way down "
+        "the schedule the original run would have followed)",
+    )
+    ap.add_argument(
         "--lr_step", type=int, default=0,
         help="override StepLR step_size in epochs (synthetic epochs are "
         "~300 steps, far shorter than the reference's KITTI epochs — long "
@@ -118,6 +128,10 @@ def main(argv=None):
         cfg.train.lr_scheduler.step_size = args.lr_step
     if args.lr_gamma:
         cfg.train.lr_scheduler.gamma = args.lr_gamma
+    if args.lr_scale != 1.0:
+        cfg.train.lr = float(cfg.train.lr) * args.lr_scale
+    if args.init_npz:
+        cfg.train.load_pretrain = args.init_npz
 
     dataset = ShardDataset(
         root=cfg.data.root,

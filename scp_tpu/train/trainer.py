@@ -220,12 +220,16 @@ class Trainer:
             start_epoch = int(meta.get("epoch", -1)) + 1
             print(f"resumed from {resume_from} at epoch {start_epoch}")
         elif cfg.train.get("load_pretrain"):
-            pre = ckpt.load(cfg.train.load_pretrain)
+            path = cfg.train.load_pretrain
+            if str(path).endswith(".npz"):  # committed bench-ckpt format
+                pre = {"params": ckpt.load_params_npz(path)["params"]}
+            else:
+                pre = ckpt.load(path)
             state = dataclasses.replace(
                 state,
                 params=ckpt.filter_compatible(pre["params"], state.params),
             )
-            print(f"warm-started params from {cfg.train.load_pretrain}")
+            print(f"warm-started params from {path}")
 
         log_every = int(cfg.train.get("log_every", 50))
         val_every = int(cfg.train.get("val_every", 500))
