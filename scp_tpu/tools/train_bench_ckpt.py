@@ -55,7 +55,13 @@ def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int,
         pts = synth_kitti(rng, n_points)
         res = preprocess_points(pts, system="spher", qs=kitti_qs(lidar_level))
         n = res.context.shape[0]
-        np.save(os.path.join(out_dir, f"cloud{i:03d}_{n}"), res.context)
+        # write-to-tmp + rename: a killed run must never leave a truncated
+        # .npy behind (the skip-existing resume would then keep it forever)
+        final = os.path.join(out_dir, f"cloud{i:03d}_{n}.npy")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, res.context)
+        os.replace(tmp, final)
         print(f"shard {i + 1}/{n_clouds}: {n} nodes", flush=True)
 
 

@@ -121,7 +121,9 @@ class ShardDataset:
 
 
 def prefetch(generator, depth: int = 2):
-    """Host-side prefetch thread (the reference's worker pool equivalent)."""
+    """Host-side prefetch thread (the reference's worker pool equivalent).
+    Worker exceptions are re-raised in the consumer — a dead worker must
+    not masquerade as normal end-of-data (StopIteration)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
 
@@ -129,8 +131,9 @@ def prefetch(generator, depth: int = 2):
         try:
             for item in generator:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — hand ANY failure over
+            q.put(("__prefetch_error__", e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -138,6 +141,8 @@ def prefetch(generator, depth: int = 2):
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
         yield item
 
 

@@ -174,6 +174,64 @@ def test_warm_start_partial(tmp_path, rng):
     t2.fit(build_dataset(cfg2), str(tmp_path / "runB"), epochs=1)
 
 
+def test_warm_start_from_npz(tmp_path, rng):
+    """load_pretrain accepts the committed .npz bench-checkpoint format
+    (the orbax run dir does not survive container resets; the npz does)."""
+    from scp_tpu.train import checkpoints
+
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+    ds = build_dataset(cfg)
+    t1 = Trainer(cfg, steps_per_epoch=2)
+    state = t1.fit(ds, str(tmp_path / "runA"), epochs=1)
+    npz = str(tmp_path / "ck.npz")
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    checkpoints.save_params_npz(npz, variables)
+
+    cfg2 = tiny_cfg(root)
+    cfg2.train.load_pretrain = npz
+    t2 = Trainer(cfg2, steps_per_epoch=1)
+    ds2 = build_dataset(cfg2)
+    gen = ds2.batches()
+    state2 = t2.init_state(next(gen))
+    import dataclasses
+
+    pre = checkpoints.load_params_npz(npz)["params"]
+    warm = dataclasses.replace(
+        state2, params=checkpoints.filter_compatible(pre, state2.params)
+    )
+    # at least one leaf must actually have been replaced (f16 round-trip
+    # of the trained value, not the fresh init)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(warm.params)
+    match = sum(
+        np.allclose(np.asarray(x, np.float16), np.asarray(y), atol=1e-3)
+        for x, y in zip(a, b)
+        if np.shape(x) == np.shape(y)
+    )
+    assert match == len(a)
+    # and the fit() entry point runs end to end with the npz path
+    t2.fit(ds2, str(tmp_path / "runB"), epochs=1)
+
+
+def test_prefetch_propagates_worker_errors():
+    """A dead prefetch worker must raise in the consumer, not end the
+    stream silently (a truncated shard once surfaced as StopIteration)."""
+    from scp_tpu.train.data import prefetch
+
+    def boom():
+        yield 1
+        raise ValueError("worker died")
+
+    g = prefetch(boom())
+    assert next(g) == 1
+    with pytest.raises(ValueError, match="worker died"):
+        next(g)
+    assert list(prefetch(iter(range(3)))) == [0, 1, 2]
+
+
 def test_lr_schedule_steps_per_epoch():
     from scp_tpu.train.trainer import make_lr_schedule
 
