@@ -594,6 +594,7 @@ class EHEMCodec:
             f"msfuse={0 if os.environ.get('SCP_NO_MSFUSE') else 1};"
             f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
             f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
+            f"pallas_knn={1 if os.environ.get('SCP_PALLAS_KNN') else 0};"
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 

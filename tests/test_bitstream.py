@@ -1,6 +1,8 @@
 """Bitstream container: header round-trip and filename convention."""
 
 import numpy as np
+import os
+
 import pytest
 
 from scp_tpu.codec.bitstream import (
@@ -97,3 +99,70 @@ def test_reference_style_name():
         == "scan_spher_16_4096_-3.bin"
     )
     assert reference_style_name("scan", "cart", 12, 0, 0) == "scan_12_0_0.bin"
+
+
+def test_every_inference_env_knob_is_stamped():
+    """Every SCP_* env var read on the inference path changes the compiled
+    phase programs, so it MUST appear in coding_params() (or a dedicated
+    header field) — otherwise encoding with the knob set and decoding
+    without it silently desyncs the entropy stream.  This meta-test greps
+    the source so a new knob cannot be added without either stamping it or
+    consciously whitelisting it here."""
+    import glob
+    import re
+
+    import jax
+    import numpy as np
+
+    from scp_tpu.codec.ehem_codec import EHEMCodec
+    from scp_tpu.models.ehem import EHEM
+
+    # knobs that cannot change stream bytes:
+    #   ALLOW_CROSS_BACKEND  escape hatch for the mismatch guard itself
+    #   REFERENCE_DIR        baseline harness location
+    #   SELFTEST_TPU         selftest device selection (backend is stamped)
+    #   SORT_GATHER_BWD      training backward pass only
+    #   TPU_NO_NATIVE        native host coder gate; native and python
+    #                        coders are byte-parity tested both directions
+    #   TPU_PEAK_FLOPS/TRACE_DIR  profiling only
+    whitelist = {
+        "SCP_ALLOW_CROSS_BACKEND", "SCP_REFERENCE_DIR", "SCP_SELFTEST_TPU",
+        "SCP_SORT_GATHER_BWD", "SCP_TPU_NO_NATIVE", "SCP_TPU_PEAK_FLOPS",
+        "SCP_TRACE_DIR",
+    }
+    # env var -> stamp key in coding_params() / header field
+    stamp_key = {
+        "SCP_KNN_RECALL": "knn_recall=",
+        "SCP_EXACT_KNN": "exact_knn=",
+        "SCP_PALLAS_ATTN": "pallas_attn=",
+        "SCP_PALLAS_KNN": "pallas_knn=",
+        "SCP_KNN_F32": "knn_f32=",
+        "SCP_NO_MSFUSE": "msfuse=",
+        "SCP_NO_BNFOLD": "bnfold=",
+        "SCP_CODEC_GROUP": "group=",
+        "SCP_CODEC_DTYPE": "dtype=",
+        "SCP_CODEC_MODE": "",  # dedicated header field: coding_mode
+    }
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for f in glob.glob(os.path.join(pkg, "scp_tpu", "**", "*.py"), recursive=True):
+        with open(f) as fh:
+            seen |= set(re.findall(r"environ[^)\n]*?(SCP_[A-Z0-9_]+)", fh.read()))
+    unaccounted = seen - whitelist - set(stamp_key)
+    assert not unaccounted, (
+        f"env knobs {unaccounted} read in scp_tpu/ are neither stamped in "
+        "coding_params() nor whitelisted as stream-neutral"
+    )
+
+    model = EHEM(
+        self_depths=(2,), cross_depths=(1,), embed_dim=64, num_heads=2,
+        window_size=16, mlp_ratio=2.0, knn_k=4,
+    )
+    d = np.zeros((1, 8, 4, 3), np.int32)
+    p = np.zeros((1, 8, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), d, p)
+    stamp = EHEMCodec(model, variables, context_size=64).coding_params()
+    for var, key in stamp_key.items():
+        if key:
+            assert key in stamp, f"{var} must stamp as {key!r}; stamp={stamp!r}"
