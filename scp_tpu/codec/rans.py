@@ -108,11 +108,15 @@ def _decode_chunk(states, ptr, stream, rows_u16, base, n):
         r = _row_i32(rows)  # (K, 256)
         slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
         sym = jnp.sum(r[:, :255] <= slot[:, None], axis=-1) - 1  # (K,)
-        start = jnp.take_along_axis(r, sym[:, None], axis=-1)[:, 0]
-        top = jnp.take_along_axis(
-            r, jnp.minimum(sym + 1, 255)[:, None], axis=-1
-        )[:, 0]
-        top = jnp.where(sym + 1 == 256, jnp.int32(1 << 16), top)
+        # start/top as masked reductions, NOT row gathers: rows are
+        # monotone (logits_to_cdf guarantees it), so cdf[sym] is the max
+        # entry <= slot and cdf[sym+1] the min entry > slot.  The two
+        # take_along_axis gathers this replaces were ~45% of the chunk's
+        # device time (scratch/prof_rans_dec2.py: 30 -> 1.6 ms combined
+        # with the windowed stream read below).
+        le = r <= slot[:, None]
+        start = jnp.max(jnp.where(le, r, 0), axis=-1)
+        top = jnp.min(jnp.where(le, jnp.int32(1 << 16), r), axis=-1)
         freq = (top - start).astype(jnp.uint32)
 
         x2 = freq * (x >> 16) + slot.astype(jnp.uint32) - start.astype(jnp.uint32)
@@ -121,8 +125,13 @@ def _decode_chunk(states, ptr, stream, rows_u16, base, n):
             active, (x2 < RANS_L).astype(jnp.int32) + (x2 < HALF_L), 0
         )
         offs = jnp.cumsum(cnt) - cnt
-        b0 = jnp.take(stream, p + offs, mode="clip").astype(jnp.uint32)
-        b1 = jnp.take(stream, p + offs + 1, mode="clip").astype(jnp.uint32)
+        # the <=2K+2 bytes a step can consume are contiguous at p: slice
+        # the window once (sized so RansDecoder's padding keeps it in
+        # bounds), then gather within it — a dynamic gather into the full
+        # multi-MB stream was the other ~45% of the chunk's device time
+        win = jax.lax.dynamic_slice_in_dim(stream, p, 2 * K_LANES + 2)
+        b0 = jnp.take(win, offs, mode="clip").astype(jnp.uint32)
+        b1 = jnp.take(win, offs + 1, mode="clip").astype(jnp.uint32)
         x3 = jnp.where(cnt >= 1, (x2 << 8) | b0, x2)
         x3 = jnp.where(cnt == 2, (x3 << 8) | b1, x3)
 
@@ -286,8 +295,13 @@ class RansDecoder:
         self.states = jnp.asarray(states)
         body = np.frombuffer(payload[2 + 4 * used :], np.uint8)
         # standard buffer size: one compiled _decode_chunk program covers
-        # every stream up to 1 MB (bigger clouds recompile once per pow2)
-        pad = max(1 << 20, 1 << int(np.ceil(np.log2(max(len(body) + 2 * K_LANES, 1)))))
+        # every stream up to 1 MB (bigger clouds recompile once per pow2).
+        # headroom: _decode_chunk slices a (2*K_LANES + 2)-byte window at
+        # ptr, which can sit at len(body) when the stream is fully drained
+        pad = max(
+            1 << 20,
+            1 << int(np.ceil(np.log2(max(len(body) + 2 * K_LANES + 2, 1)))),
+        )
         self.stream = jnp.asarray(
             np.concatenate([body, np.zeros(pad - len(body), np.uint8)])
         )
