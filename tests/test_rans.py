@@ -135,3 +135,48 @@ def test_corrupt_payload_raises():
         rans.RansDecoder(b"\xff\xff")  # claims more lanes than K_LANES
     with pytest.raises(ValueError):
         rans.RansDecoder(np.uint16(64).tobytes() + b"\x00" * 16)  # truncated states
+
+
+def test_compact_blocks_sort_matches_searchsorted_fallback():
+    """The sort-based _compact_blocks layout must be byte-identical to the
+    searchsorted fallback it replaced (the fallback still serves >16 MB
+    streams)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    k, l = 5, 64
+    blocks = rng.integers(0, 256, (k, l)).astype(np.uint8)
+    totals = rng.integers(0, l + 1, k).astype(np.int32)
+    packed, tot = rans._compact_blocks(jnp.asarray(blocks), jnp.asarray(totals))
+    packed, tot = np.asarray(packed), int(tot)
+    # reference layout computed on the host
+    want = np.concatenate([blocks[i, : totals[i]] for i in range(k)])
+    assert tot == totals.sum()
+    assert (packed[:tot] == want).all()
+
+
+def test_decoder_window_headroom_at_full_drain():
+    """_decode_chunk slices a (2K+2)-byte window at ptr; with the stream
+    fully drained ptr sits at len(body), so the decoder buffer must keep
+    that slice in bounds even when len(body)+2K is itself a power of two
+    (the old pad formula's exact boundary)."""
+    rng = np.random.default_rng(6)
+    n = rans.CHUNK
+    rows = _random_rows(rng, n)
+    syms = rng.integers(0, 255, n)
+    payload, decoded = _roundtrip([(rows, syms)], rng)
+    assert (decoded[0] == syms).all()
+    # grow the body to land len(body) + 2*K_LANES exactly on a power of two
+    dec0 = rans.RansDecoder(payload)
+    body_len = int(dec0.stream.shape[0])  # padded; recompute the raw body
+    used = int(np.frombuffer(payload[:2], np.uint16)[0])
+    raw = len(payload) - 2 - 4 * used
+    target = (1 << 21) - 2 * rans.K_LANES - raw
+    if target > 0:
+        padded = payload + b"\x00" * target
+        dec1 = rans.RansDecoder(padded)
+        assert int(dec1.stream.shape[0]) >= raw + target + 2 * rans.K_LANES + 2
+        got = np.asarray(dec1.decode_group(
+            jnp.asarray(np.pad(rows, ((0, rans.pad_to_chunk(n) - n), (0, 0)))), n
+        ))[:n]
+        assert (got == syms).all()
