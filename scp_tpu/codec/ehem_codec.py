@@ -203,9 +203,20 @@ def _expand_core(data, pos, occ, n_par, n_child, child_level, unit):
     b8 = (occ1[:, None] >> jnp.arange(8, dtype=jnp.int32)) & 1  # (B, 8)
     cnt = jnp.where(i < n_par, jnp.sum(b8, axis=1), 0)
     cum = jnp.cumsum(cnt)
-    parent = jnp.minimum(
-        jnp.searchsorted(cum, i, side="right").astype(jnp.int32), b - 1
-    )
+    # parent[j] = #{p: cum[p] <= j} — a monotone-vs-monotone merge rank.
+    # searchsorted costs ~log2(b) serial gather rounds on TPU (the same
+    # pattern that dominated the rANS compaction); two fused sorts do the
+    # merge: keys put boundary entries (cum, even key) before queries
+    # (odd key) at ties, a cumsum counts boundaries at each sorted slot,
+    # and a second sort keyed by query id carries the counts back.
+    keys = jnp.concatenate([cum * 2, i * 2 + 1])
+    vals = jnp.concatenate([jnp.zeros(b, jnp.int32), i])
+    sk, sv = jax.lax.sort_key_val(keys, vals)
+    is_cum = (sk & 1) == 0
+    r = jnp.cumsum(is_cum.astype(jnp.int32))
+    qkey = jnp.where(is_cum, jnp.int32(1 << 30), sv)
+    _, ranks = jax.lax.sort_key_val(qkey, r)
+    parent = jnp.minimum(ranks[:b], b - 1)
     rank = i - (jnp.take(cum, parent) - jnp.take(cnt, parent))
     pb8 = jnp.take(b8, parent, axis=0)
     # octant = index of the (rank+1)-th set bit (ascending — the BFS child
