@@ -75,17 +75,21 @@ def _row_i32(rows_u16: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def gather_start_freq(rows_u16: jnp.ndarray, syms: jnp.ndarray):
-    """Per-symbol (cdf_low, freq) u32 from CDF rows — encode-side gather.
+    """Per-symbol (cdf_low, freq) u32 from CDF rows — encode-side lookup.
 
     rows_u16 (..., 256), syms (...) int -> (..., 2) u32.
+
+    The row lookup is a compare + masked one-hot sum, not take_along_axis:
+    TPU lowers the per-row dynamic gather ~20x slower than the 256-wide
+    vector reduction (same finding as _decode_chunk's start/top lookup).
+    syms <= 254, so sym+1 <= 255 and the wrapped top entry restored by
+    _row_i32 covers the hi edge with no special case.
     """
     r = _row_i32(rows_u16)
     s = syms.astype(jnp.int32)[..., None]
-    lo = jnp.take_along_axis(r, s, axis=-1)[..., 0]
-    hi = jnp.take_along_axis(
-        r, jnp.minimum(s + 1, r.shape[-1] - 1), axis=-1
-    )[..., 0]
-    hi = jnp.where(s[..., 0] + 1 == r.shape[-1], jnp.int32(1 << 16), hi)
+    j = jnp.arange(r.shape[-1], dtype=jnp.int32)
+    lo = jnp.sum(jnp.where(j == s, r, 0), axis=-1)
+    hi = jnp.sum(jnp.where(j == s + 1, r, 0), axis=-1)
     return jnp.stack([lo, hi - lo], axis=-1).astype(jnp.uint32)
 
 
