@@ -61,9 +61,15 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
 
 
 def cross_entropy_bits(logits, labels):
-    """CE / ln2 — average bits per occupancy symbol."""
+    """CE / ln2 — average bits per occupancy symbol.
+
+    Per-label selection as a one-hot masked sum: TPU lowers the per-row
+    take_along_axis gather far slower than the class-width reduction
+    (same finding as the codec's CDF lookups), and its backward is a
+    serialized scatter where the mask's is a broadcast."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    j = jnp.arange(logp.shape[-1], dtype=labels.dtype)
+    ll = jnp.sum(jnp.where(j == labels[..., None], logp, 0.0), axis=-1)
     return -jnp.mean(ll) / jnp.log(2.0)
 
 
