@@ -253,17 +253,20 @@ def _expand_core(data, pos, occ, n_par, n_child, child_level, unit):
     return child, cpos
 
 
+def _interleave(evens, odds, b):
+    """(e_cap,) x2 -> (b,) BFS-interleaved, by reshape (no gather)."""
+    import jax.numpy as jnp
+
+    val = jnp.stack([evens, odds], axis=-1).reshape(-1)
+    if val.shape[0] >= b:
+        return val[:b]
+    return jnp.pad(val, (0, b - val.shape[0]))
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _expand_parity(data, pos, evens, odds, n_par, n_child, child_level, unit):
     """Expansion fed by the decoder's parity-split symbol buffers."""
-    import jax.numpy as jnp
-
-    i = jnp.arange(data.shape[0], dtype=jnp.int32)
-    occ = jnp.where(
-        i % 2 == 0,
-        jnp.take(evens, i // 2, mode="clip"),
-        jnp.take(odds, i // 2, mode="clip"),
-    )
+    occ = _interleave(evens, odds, data.shape[0])
     return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
 
 
@@ -279,31 +282,37 @@ def _expand_flat(data, pos, flat, n_par, n_child, child_level, unit):
     """Expansion fed by a tiny level's un-split decoded symbols."""
     import jax.numpy as jnp
 
-    occ = jnp.take(flat, jnp.arange(data.shape[0], dtype=jnp.int32), mode="clip")
+    b = data.shape[0]
+    occ = flat[:b] if flat.shape[0] >= b else jnp.pad(flat, (0, b - flat.shape[0]))
     return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _emit_parity(out, evens, odds, off, n):
-    """Interleave one level's parity buffers into the BFS output stream."""
+    """Interleave one level's parity buffers into the BFS output stream.
+
+    Windowed: the old full-buffer gather pass cost ~17 ms/call at the
+    bench out-cap (scratch/prof_expand.py); a reshape interleave plus a
+    (2*e_cap)-wide dynamic slice/update touches only the level's bytes.
+    The decode loop sizes `out` with 2*e_cap headroom so the window stays
+    in bounds at the last level."""
     import jax.numpy as jnp
 
-    rel = jnp.arange(out.shape[0], dtype=jnp.int32) - off
-    val = jnp.where(
-        rel % 2 == 0,
-        jnp.take(evens, rel // 2, mode="clip"),
-        jnp.take(odds, rel // 2, mode="clip"),
-    )
-    return jnp.where((rel >= 0) & (rel < n), val, out)
+    w = 2 * evens.shape[0]
+    val = jnp.stack([evens, odds], axis=-1).reshape(-1)
+    win = jax.lax.dynamic_slice_in_dim(out, off, w)
+    win = jnp.where(jnp.arange(w, dtype=jnp.int32) < n, val, win)
+    return jax.lax.dynamic_update_slice_in_dim(out, win, off, 0)
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _emit_flat(out, flat, off, n):
     import jax.numpy as jnp
 
-    rel = jnp.arange(out.shape[0], dtype=jnp.int32) - off
-    val = jnp.take(flat, rel, mode="clip")
-    return jnp.where((rel >= 0) & (rel < n), val, out)
+    w = flat.shape[0]
+    win = jax.lax.dynamic_slice_in_dim(out, off, w)
+    win = jnp.where(jnp.arange(w, dtype=jnp.int32) < n, flat, win)
+    return jax.lax.dynamic_update_slice_in_dim(out, win, off, 0)
 
 
 class EHEMCodec:
@@ -1050,7 +1059,9 @@ class EHEMCodec:
         assert len(sizes) == max_level, (len(sizes), max_level)
         plans, b_cap, e_cap = self._plan_levels(sizes)
         total = sum(sizes)
-        n_cap = _pow2(max(total, 1))
+        # emit programs write a full (2*e_cap | CHUNK)-wide window at each
+        # level offset — keep that window in bounds at the last level
+        n_cap = _pow2(max(total, 1)) + max(2 * e_cap, rans.CHUNK)
         out = self._replicate_or_put(np.zeros(n_cap, np.uint8))
         data_buf, pos_buf = self._root_bufs(b_cap)
 

@@ -101,6 +101,23 @@ def emit_parity(out, evens, odds, off, n):
     return jnp.where((rel >= 0) & (rel < n), val, out)
 
 
-chain("emit_parity (prod shape)", emit_parity,
+chain("emit_parity full-pass (old)", emit_parity,
       (out0, evens, odds, np.int32(500000), np.int32(110000)),
       fetch=lambda o: np.asarray(o[0]))
+
+
+@jax.jit
+def emit_windowed(out, evens, odds, off, n):
+    w = 2 * evens.shape[0]
+    val = jnp.stack([evens, odds], axis=-1).reshape(-1)
+    win = jax.lax.dynamic_slice_in_dim(out, off, w)
+    win = jnp.where(jnp.arange(w, dtype=jnp.int32) < n, val, win)
+    return jax.lax.dynamic_update_slice_in_dim(out, win, off, 0)
+
+
+chain("emit_parity windowed (prod)", emit_windowed,
+      (out0, evens, odds, np.int32(500000), np.int32(110000)),
+      fetch=lambda o: np.asarray(o[0]))
+got_old = np.asarray(emit_parity(out0, evens, odds, np.int32(500000), np.int32(110000)))
+got_new = np.asarray(emit_windowed(out0, evens, odds, np.int32(500000), np.int32(110000)))
+print("emit windowed matches:", (got_old == got_new).all(), flush=True)
