@@ -24,17 +24,17 @@ EOF
 for L in 12 14 16; do
   echo "=== spher L$L encode"
   python -m scp_tpu.cli.encode --ckpt_path "$CKPT" --type kitti \
-    --lidar_level "$L" --spher --preproc_path "data/sweep_pre_$L/" \
+    --lidar_level "$L" --spher --out_dir "outputs/sweep_r3/L$L" \
     --test_files 'data/sweep_test/*.ply'
   echo "=== spher L$L decode"
   python -m scp_tpu.cli.decode --ckpt_path "$CKPT" --type kitti \
-    --test_files data/sweep_test/ --preproc_path "data/sweep_pre_$L/"
+    --bin_dir "outputs/sweep_r3/L$L" --test_files data/sweep_test/
 done
 
 echo "=== cylin L14 encode+decode"
 python -m scp_tpu.cli.encode --ckpt_path "$CKPT" --type kitti \
-  --lidar_level 14 --cylin --preproc_path data/sweep_pre_cyl14/ \
+  --lidar_level 14 --cylin --out_dir outputs/sweep_r3/cyl14 \
   --test_files 'data/sweep_test/*.ply'
 python -m scp_tpu.cli.decode --ckpt_path "$CKPT" --type kitti \
-  --test_files data/sweep_test/ --preproc_path data/sweep_pre_cyl14/
+  --bin_dir outputs/sweep_r3/cyl14 --test_files data/sweep_test/
 echo SWEEP_DONE
