@@ -39,7 +39,7 @@ def synth_kitti(rng, n):
 
 
 def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int,
-               seed_base: int = 1000):
+               seed_base: int = 1000, system: str = "spher"):
     """Seeds seed_base.. are disjoint from bench.py's held-out seed 0 and
     from the validation clouds (seed_base 5000)."""
     import numpy as np
@@ -53,7 +53,7 @@ def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int,
             continue
         rng = np.random.default_rng(seed_base + i)
         pts = synth_kitti(rng, n_points)
-        res = preprocess_points(pts, system="spher", qs=kitti_qs(lidar_level))
+        res = preprocess_points(pts, system=system, qs=kitti_qs(lidar_level))
         n = res.context.shape[0]
         # write-to-tmp + rename: a killed run must never leave a truncated
         # .npy behind (the skip-existing resume would then keep it forever)
@@ -73,6 +73,9 @@ def main(argv=None):
     ap.add_argument("--clouds", type=int, default=24)
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--lidar_level", type=int, default=16)
+    ap.add_argument("--system", default="spher", choices=["spher", "cylin", "cart"],
+                    help="coordinate system for the generated shards (the "
+                    "reference trains one model per system)")
     ap.add_argument("--shard_dir", default="data/synth_kitti")
     ap.add_argument("--run_dir", default="outputs/bench_ckpt")
     ap.add_argument("--out", default="checkpoints/ehem_synth_f16.npz")
@@ -105,7 +108,8 @@ def main(argv=None):
     enable_compilation_cache()
 
     print("generating shards...", flush=True)
-    gen_shards(args.shard_dir, args.clouds, args.points, args.lidar_level)
+    gen_shards(args.shard_dir, args.clouds, args.points, args.lidar_level,
+               system=args.system)
 
     from scp_tpu.config import load_config
     from scp_tpu.train import checkpoints
@@ -159,7 +163,8 @@ def main(argv=None):
     # held-out validation: DISJOINT clouds (seed base 5000), not a
     # re-shuffle of the training shards
     val_dir = args.shard_dir.rstrip("/") + "_val"
-    gen_shards(val_dir, 2, args.points, args.lidar_level, seed_base=5000)
+    gen_shards(val_dir, 2, args.points, args.lidar_level, seed_base=5000,
+               system=args.system)
     val_ds = ShardDataset(
         root=os.path.join(val_dir, "*.npy"), context_size=args.context,
         batch_size=args.batch, mode="ehem", vari_data_len=False, seed=7,
