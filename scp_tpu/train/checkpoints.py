@@ -148,7 +148,11 @@ def fuse_qkv_params(tree: Any) -> Any:
     def walk(node, in_cross):
         if not isinstance(node, dict):
             return node
-        if {"query", "key", "value"} <= set(node):
+        # Only pre-fusion WindowAttention1D scopes qualify: they always
+        # carry the output projection `proj` alongside query/key/value.
+        # OctAttention's _QKV scope is {query, key, value} ONLY and must
+        # stay separate (its model splits the heads itself).
+        if {"query", "key", "value", "proj"} <= set(node):
 
             def cat(names):
                 parts = [node[n] for n in names]

@@ -235,6 +235,25 @@ def test_fused_qkv_checkpoint_migration(rng):
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(ref2))
 
 
+def test_fuse_migration_leaves_octattention_alone(rng):
+    """OctAttention's _QKV scope is {query, key, value} with NO proj; the
+    Swin checkpoint migration must pass it through unchanged (regression:
+    it used to fuse it into a qkv the model cannot find)."""
+    from scp_tpu.train.checkpoints import fuse_qkv_params
+
+    model = tiny_octattention()
+    data = jnp.zeros((1, 8, 4, 3), jnp.int32)
+    pos = jnp.zeros((1, 8, 4, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), data, pos)
+    tree = jax.tree_util.tree_map(np.asarray, variables)
+    migrated = fuse_qkv_params(tree)
+    flat_a = jax.tree_util.tree_flatten_with_path(tree)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(migrated)[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_ehem_fused_multiscale_matches_concat(rng, monkeypatch):
     """The fused multiscale heads (per-stage kernel repartition,
     layers.MLP.multiscale) must equal the materialized-concat oracle
