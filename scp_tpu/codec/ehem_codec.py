@@ -299,7 +299,7 @@ def _emit_parity(out, evens, odds, off, n):
     import jax.numpy as jnp
 
     w = 2 * evens.shape[0]
-    val = jnp.stack([evens, odds], axis=-1).reshape(-1)
+    val = _interleave(evens, odds, w)
     win = jax.lax.dynamic_slice_in_dim(out, off, w)
     win = jnp.where(jnp.arange(w, dtype=jnp.int32) < n, val, win)
     return jax.lax.dynamic_update_slice_in_dim(out, win, off, 0)

@@ -47,6 +47,29 @@ def gen_shards(out_dir: str, n_clouds: int, n_points: int, lidar_level: int,
     from scp_tpu.core.preprocess import kitti_qs, preprocess_points
 
     os.makedirs(out_dir, exist_ok=True)
+    # Skip-existing resume is only valid for shards generated with the SAME
+    # recipe: stamp (system, lidar_level, points) in the dir and refuse a
+    # mismatch instead of silently training on the other recipe's shards.
+    import json
+
+    meta_path = os.path.join(out_dir, "_gen_meta.json")
+    meta = {"system": system, "lidar_level": lidar_level, "points": n_points}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            found = json.load(fh)
+        if found != meta:
+            raise SystemExit(
+                f"{out_dir} holds shards generated with {found}, requested "
+                f"{meta}; point --shard_dir somewhere else"
+            )
+    else:
+        if glob.glob(os.path.join(out_dir, "cloud*.npy")):
+            raise SystemExit(
+                f"{out_dir} has shards but no _gen_meta.json (pre-stamp "
+                f"layout); point --shard_dir somewhere else or delete them"
+            )
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
     for i in range(n_clouds):
         existing = glob.glob(os.path.join(out_dir, f"cloud{i:03d}_*.npy"))
         if existing:

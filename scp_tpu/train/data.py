@@ -127,13 +127,20 @@ def prefetch(generator, depth: int = 2):
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
 
+    class _Raise:
+        """Unique wrapper so error hand-over can never collide with a
+        legitimately yielded value (e.g. a ('tag', payload) tuple)."""
+
+        def __init__(self, exc):
+            self.exc = exc
+
     def worker():
         try:
             for item in generator:
                 q.put(item)
             q.put(stop)
         except BaseException as e:  # noqa: BLE001 — hand ANY failure over
-            q.put(("__prefetch_error__", e))
+            q.put(_Raise(e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -141,8 +148,8 @@ def prefetch(generator, depth: int = 2):
         item = q.get()
         if item is stop:
             return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
+        if isinstance(item, _Raise):
+            raise item.exc
         yield item
 
 

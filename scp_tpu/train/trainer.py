@@ -231,6 +231,10 @@ class Trainer:
                 pre = {"params": ckpt.load_params_npz(path)["params"]}
             else:
                 pre = ckpt.load(path)
+                # pre-fusion checkpoints (separate q/k/v Dense scopes) must
+                # migrate before filter_compatible, or every attention
+                # projection silently keeps its fresh random init
+                pre = {**pre, "params": ckpt.fuse_qkv_params(pre["params"])}
             state = dataclasses.replace(
                 state,
                 params=ckpt.filter_compatible(pre["params"], state.params),

@@ -125,10 +125,11 @@ def test_every_inference_env_knob_is_stamped():
     #   TPU_NO_NATIVE        native host coder gate; native and python
     #                        coders are byte-parity tested both directions
     #   TPU_PEAK_FLOPS/TRACE_DIR  profiling only
+    #   TPU_CACHE            native-build cache directory location
     whitelist = {
         "SCP_ALLOW_CROSS_BACKEND", "SCP_REFERENCE_DIR", "SCP_SELFTEST_TPU",
         "SCP_SORT_GATHER_BWD", "SCP_TPU_NO_NATIVE", "SCP_TPU_PEAK_FLOPS",
-        "SCP_TRACE_DIR",
+        "SCP_TRACE_DIR", "SCP_TPU_CACHE",
     }
     # env var -> stamp key in coding_params() / header field
     stamp_key = {
@@ -148,7 +149,14 @@ def test_every_inference_env_knob_is_stamped():
     seen = set()
     for f in glob.glob(os.path.join(pkg, "scp_tpu", "**", "*.py"), recursive=True):
         with open(f) as fh:
-            seen |= set(re.findall(r"environ[^)\n]*?(SCP_[A-Z0-9_]+)", fh.read()))
+            # DOTALL + explicit whitespace so a line break between
+            # `environ.get(` and the var name (normal formatter wrapping)
+            # cannot hide a knob from this audit
+            seen |= set(
+                re.findall(
+                    r"environ[\s\S]{0,80}?['\"](SCP_[A-Z0-9_]+)['\"]", fh.read()
+                )
+            )
     unaccounted = seen - whitelist - set(stamp_key)
     assert not unaccounted, (
         f"env knobs {unaccounted} read in scp_tpu/ are neither stamped in "

@@ -167,8 +167,6 @@ def test_decoder_window_headroom_at_full_drain():
     payload, decoded = _roundtrip([(rows, syms)], rng)
     assert (decoded[0] == syms).all()
     # grow the body to land len(body) + 2*K_LANES exactly on a power of two
-    dec0 = rans.RansDecoder(payload)
-    body_len = int(dec0.stream.shape[0])  # padded; recompute the raw body
     used = int(np.frombuffer(payload[:2], np.uint16)[0])
     raw = len(payload) - 2 - 4 * used
     target = (1 << 21) - 2 * rans.K_LANES - raw
