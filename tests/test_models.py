@@ -234,6 +234,22 @@ def test_fused_qkv_checkpoint_migration(rng):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(ref1))
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(ref2))
 
+    # warm-start guard: filter_compatible over the migrated tree must adopt
+    # EVERY pretrained leaf (a missed migration silently keeps random init
+    # for all attention projections — the exact bug fixed in load_pretrain's
+    # orbax branch)
+    from scp_tpu.train.checkpoints import filter_compatible
+
+    fresh = jax.tree_util.tree_map(lambda x: np.zeros_like(x), variables)
+    adopted = filter_compatible(migrated, fresh)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(adopted)[0],
+        jax.tree_util.tree_flatten_with_path(
+            jax.tree_util.tree_map(np.asarray, variables)
+        )[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), b, err_msg=str(pa))
+
 
 def test_fuse_migration_leaves_octattention_alone(rng):
     """OctAttention's _QKV scope is {query, key, value} with NO proj; the
