@@ -65,6 +65,26 @@ class OctAttentionCodec:
         self._step_fn_b = jax.jit(step_b)
         self._insert_fn_b = jax.jit(insert_b, donate_argnums=(3,))
 
+        # Device-coder variants (incremental rANS mode): the decoded
+        # symbols never leave the device inside a level — insert sets the
+        # known-occupancy channel in-program (inactive lanes keep the pad
+        # token, mirroring the encoder's host-built d_known), and per-step
+        # results accumulate into donated device buffers so the level loop
+        # is one async dispatch chain with a single fetch at the end.
+        import jax.numpy as jnp
+
+        def insert_b_sym(v, d, p, cache, t, qs, syms, n_active):
+            lanes = d.shape[0]
+            lane = jnp.arange(lanes, dtype=jnp.int32)
+            occ = jnp.where(lane < n_active, syms[:lanes], _PAD_OCC)
+            d = d.at[:, -1, 0].set(occ)
+            return insert_b(v, d, p, cache, t, qs)
+
+        self._insert_sym_fn = jax.jit(insert_b_sym, donate_argnums=(3,))
+        self._buf_put_fn = jax.jit(
+            lambda buf, val, j: buf.at[j].set(val), donate_argnums=(0,)
+        )
+
     def _fwd(self, d, p):
         return self._fwd_fn(self.variables, d, p)
 
