@@ -49,7 +49,7 @@ class ShardDataset:
         self.batch_size = batch_size
         self.mode = mode
         self.vari_data_len = vari_data_len
-        self.rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self.total_nodes = 0
         for f in self.files:
             try:
@@ -60,64 +60,79 @@ class ShardDataset:
     def steps_per_epoch(self) -> int:
         return max(self.total_nodes // (self.context_size * self.batch_size), 1)
 
-    def _window_iter(self):
-        """Yield (data(N,4,3) int32, pos float32, label int32) windows in a
-        global cross-shard permutation, re-drawn each epoch (reference
-        DataLoader shuffle=True, oct_attn_dataloader.py:25 — consecutive
-        batch items come from anywhere in the dataset, not one shard)."""
+    def _window(self, shards, fi: int, w: int, max_levels: dict):
+        """One (data(N,4,3) int32, pos float32, label int32) window."""
+        csz = self.context_size
+        shard = shards[fi]
+        rows = np.array(shard[w * csz : (w + 1) * csz])
+        rows[:, :, 0] -= 1  # occupancy 1..255 -> 0..254
+        if self.mode == "ehem":
+            pos = rows[:, -1, 3:6].astype(np.float32)
+            lo, hi = pos.min(), pos.max()
+            pos = (pos - lo) / (hi - lo + 1e-9)
+            data = rows[:, :, :3]
+            # (occ, level, octant) -> (level, octant, occ)
+            data = np.concatenate((data[:, :, 1:], data[:, :, :1]), axis=2)
+            label = data[:, -1, 2].copy()
+        else:
+            if fi not in max_levels:
+                max_levels[fi] = int(shard[:, -1, 1].max())
+            pos = (rows[:, :, 3:6] / float(2 ** max_levels[fi])).astype(np.float32)
+            data = rows[:, :, :3]
+            label = data[:, -1, 0].copy()
+        return data.astype(np.int32), pos, label.astype(np.int32)
+
+    def batches(self, start_step: int = 0):
+        """Yield stacked batches; EHEM optionally truncates to a bucket.
+
+        Batch `s` is a pure function of the global step `s` (and the seed):
+        epoch e = s // steps_per_epoch draws its OWN cross-shard window
+        permutation and bucket-truncation randomness from
+        default_rng(seed, e) — the reference DataLoader's shuffle=True,
+        oct_attn_dataloader.py:25, re-drawn per epoch.  A resumed run
+        passes start_step and sees exactly the batches an uninterrupted
+        run would have seen from that step on (round-3 resume replayed
+        epoch-0 order and dropped the first prefetched batch)."""
         csz = self.context_size
         shards = [np.load(f, mmap_mode="r") for f in self.files]
-        index = np.array(
-            [(fi, w) for fi, s in enumerate(shards) for w in range(s.shape[0] // csz)],
-            dtype=np.int64,
-        ).reshape(-1, 2)
-        if index.shape[0] == 0:
+        index = [
+            (fi, w) for fi, s in enumerate(shards) for w in range(s.shape[0] // csz)
+        ]
+        if not index:
             raise ValueError(
                 f"every shard is shorter than context_size={csz}; "
                 "no training windows can be drawn"
             )
+        n_win = len(index)
+        spe = self.steps_per_epoch()
         max_levels: dict[int, int] = {}
+        step = start_step
         while True:
-            for i in self.rng.permutation(index.shape[0]):
-                fi, w = int(index[i, 0]), int(index[i, 1])
-                shard = shards[fi]
-                rows = np.array(shard[w * csz : (w + 1) * csz])
-                rows[:, :, 0] -= 1  # occupancy 1..255 -> 0..254
-                if self.mode == "ehem":
-                    pos = rows[:, -1, 3:6].astype(np.float32)
-                    lo, hi = pos.min(), pos.max()
-                    pos = (pos - lo) / (hi - lo + 1e-9)
-                    data = rows[:, :, :3]
-                    # (occ, level, octant) -> (level, octant, occ)
-                    data = np.concatenate((data[:, :, 1:], data[:, :, :1]), axis=2)
-                    label = data[:, -1, 2].copy()
-                else:
-                    if fi not in max_levels:
-                        max_levels[fi] = int(shard[:, -1, 1].max())
-                    pos = (rows[:, :, 3:6] / float(2 ** max_levels[fi])).astype(
-                        np.float32
+            epoch = step // spe
+            erng = np.random.default_rng([self.seed, epoch])
+            perm = erng.permutation(n_win)
+            # per-step randomness pre-drawn for the WHOLE epoch so a
+            # mid-epoch entry replays the identical truncation choices
+            draws = erng.random(spe)
+            sizes = erng.choice(EHEM_LEN_BUCKETS, size=spe)
+            while step // spe == epoch:
+                i = step % spe
+                items = [
+                    self._window(
+                        shards, *index[perm[(i * self.batch_size + j) % n_win]],
+                        max_levels,
                     )
-                    data = rows[:, :, :3]
-                    label = data[:, -1, 0].copy()
-                yield (
-                    data.astype(np.int32),
-                    pos,
-                    label.astype(np.int32),
-                )
-
-    def batches(self):
-        """Yield stacked batches; EHEM optionally truncates to a bucket."""
-        it = self._window_iter()
-        while True:
-            items = [next(it) for _ in range(self.batch_size)]
-            data = np.stack([x[0] for x in items])
-            pos = np.stack([x[1] for x in items])
-            label = np.stack([x[2] for x in items])
-            if self.mode == "ehem" and self.vari_data_len and self.rng.random() < 0.3:
-                sz = int(self.rng.choice(EHEM_LEN_BUCKETS))
-                if sz < data.shape[1]:
-                    data, pos, label = data[:, :sz], pos[:, :sz], label[:, :sz]
-            yield {"data": data, "pos": pos, "label": label}
+                    for j in range(self.batch_size)
+                ]
+                data = np.stack([x[0] for x in items])
+                pos = np.stack([x[1] for x in items])
+                label = np.stack([x[2] for x in items])
+                if self.mode == "ehem" and self.vari_data_len and draws[i] < 0.3:
+                    sz = int(sizes[i])
+                    if sz < data.shape[1]:
+                        data, pos, label = data[:, :sz], pos[:, :sz], label[:, :sz]
+                yield {"data": data, "pos": pos, "label": label}
+                step += 1
 
 
 def prefetch(generator, depth: int = 2):

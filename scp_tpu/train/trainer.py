@@ -213,9 +213,10 @@ class Trainer:
 
         from scp_tpu.train.data import prefetch
 
-        gen = prefetch(dataset.batches(), depth=2)  # overlap host prep
-        first = next(gen)
-        state = self.init_state(first)
+        # shape-only sample for init; the training stream is opened AFTER
+        # the resume step is known so no batch is consumed off-schedule
+        # (round-3 resume dropped the first prefetched batch entirely)
+        state = self.init_state(next(dataset.batches()))
         start_epoch = 0
         resume_from = cfg.train.get("load_ckpt") or (
             ckpt.latest_checkpoint(run_dir) if resume else None
@@ -244,6 +245,7 @@ class Trainer:
         log_every = int(cfg.train.get("log_every", 50))
         val_every = int(cfg.train.get("val_every", 500))
         step = int(state.step)
+        gen = prefetch(dataset.batches(start_step=step), depth=2)
         t0 = time.time()
         wandb_run = None
         if cfg.train.get("wandb", False):
@@ -256,8 +258,7 @@ class Trainer:
         with open(metrics_path, "a") as mf:
             for epoch in range(start_epoch, epochs):
                 for _ in range(self.steps_per_epoch):
-                    batch = first if step == 0 else next(gen)
-                    state, loss = self.train_step(state, batch)
+                    state, loss = self.train_step(state, next(gen))
                     step += 1
                     if step % log_every == 0 or step == 1:
                         loss = float(loss)

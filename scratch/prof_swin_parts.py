@@ -32,9 +32,9 @@ CHAIN = 6
 def _med(fn, n=5):
     ts = []
     for _ in range(n):
-        t0 = time.time()
+        t0 = time.perf_counter()
         fn()
-        ts.append(time.time() - t0)
+        ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 
 
@@ -46,7 +46,6 @@ def main():
     from scp_tpu.models.swin1d import (
         SwinBlock1D,
         SwinConfig,
-        SwinEncoder1D,
         WindowAttention1D,
     )
 
@@ -91,7 +90,6 @@ def main():
             return x + jnp.asarray(1.0, x.dtype)
 
     lat = bench("latency_floor", Noop(), x0, chain=CHAIN)
-    lat_per = 0.0  # noop chain is ~free; total IS the latency
     results["latency_floor"]["ms_per_call"] = 0.0
 
     # one block at stage-0 shape (no shift / with shift)
@@ -156,6 +154,10 @@ def main():
             h = cfg.num_heads
             hd = c_ // h
             t = x.reshape(b, nn_ // w, w, c_)
+            # dummy rel-pos bias: same add the real WindowAttention1D pays
+            bias = self.param(
+                "bias", nn.initializers.zeros, (h, w, w), jnp.float32
+            )
             qkv = nn.Dense(3 * c_, dtype=jnp.bfloat16)(t)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             nw = nn_ // w
@@ -166,7 +168,8 @@ def main():
                 s = jnp.einsum(
                     "bnqhd,bnkhd->bnhqk", q, k,
                     preferred_element_type=jnp.bfloat16,
-                )
+                ) * jnp.asarray(hd ** -0.5, jnp.bfloat16)
+                s = s + bias[None, None].astype(jnp.bfloat16)
                 m = jax.lax.stop_gradient(jnp.max(s, -1, keepdims=True))
                 e = jnp.exp((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
                 a = e / jnp.sum(e.astype(jnp.float32), -1, keepdims=True).astype(
@@ -185,7 +188,9 @@ def main():
                 q, k, v = hm(q), hm(k), hm(v)
                 s = jnp.einsum(
                     "zqd,zkd->zqk", q, k, preferred_element_type=jnp.bfloat16
-                )
+                ) * jnp.asarray(hd ** -0.5, jnp.bfloat16)
+                s = s.reshape(b * nw, h, w, w) + bias[None].astype(jnp.bfloat16)
+                s = s.reshape(b * nw * h, w, w)
                 m = jax.lax.stop_gradient(jnp.max(s, -1, keepdims=True))
                 e = jnp.exp((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
                 a = e / jnp.sum(e.astype(jnp.float32), -1, keepdims=True).astype(

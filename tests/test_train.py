@@ -157,6 +157,55 @@ def test_resume_continues_from_checkpoint(tmp_path, rng):
     assert "step=6" in ck
 
 
+def test_batches_step_deterministic(tmp_path, rng):
+    """Batch s is a pure function of the global step s: a stream opened at
+    start_step=k replays exactly what an uninterrupted stream yielded from
+    step k on, across epoch boundaries (resume-order contract)."""
+    root = make_shards(tmp_path, rng)
+    kw = dict(context_size=64, batch_size=2, mode="ehem",
+              vari_data_len=True, seed=5)
+    ds1 = ShardDataset(root, **kw)
+    spe = ds1.steps_per_epoch()
+    n = 2 * spe + 2  # crosses an epoch boundary
+    gen = ds1.batches()
+    ref = [next(gen) for _ in range(n)]
+    k = spe - 1
+    gen2 = ShardDataset(root, **kw).batches(start_step=k)
+    for want in ref[k:]:
+        got = next(gen2)
+        for key in ("data", "pos", "label"):
+            np.testing.assert_array_equal(got[key], want[key])
+    # different epochs draw different window permutations
+    assert any(
+        ref[i]["data"].shape != ref[i + spe]["data"].shape
+        or not np.array_equal(ref[i]["data"], ref[i + spe]["data"])
+        for i in range(spe)
+    )
+
+
+def test_resume_matches_uninterrupted_run(tmp_path, rng):
+    """Interrupted-then-resumed training lands on the SAME parameters as an
+    uninterrupted run: no batch is consumed for init_state, and the resumed
+    stream continues the epoch-keyed data order (round-3 dropped the first
+    prefetched batch and replayed epoch-0 order)."""
+    root = make_shards(tmp_path, rng)
+    cfg = tiny_cfg(root)
+
+    tA = Trainer(cfg, steps_per_epoch=3)
+    sA = tA.fit(build_dataset(cfg), str(tmp_path / "A"), epochs=2)
+
+    runB = str(tmp_path / "B")
+    Trainer(cfg, steps_per_epoch=3).fit(build_dataset(cfg), runB, epochs=1)
+    sB = Trainer(cfg, steps_per_epoch=3).fit(
+        build_dataset(cfg), runB, epochs=2, resume=True
+    )
+    assert int(sA.step) == int(sB.step) == 6
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sA.params), jax.tree_util.tree_leaves(sB.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_warm_start_partial(tmp_path, rng):
     from scp_tpu.train import checkpoints
 
