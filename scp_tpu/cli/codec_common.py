@@ -190,12 +190,15 @@ class CodecSession:
                 ]
                 z_offset = float(grids[0].offset[2])
             results = list(zip(ctxs, grids))
+            # cached-shard runs never measure PSNR (reference `_meta.npy`
+            # cache stores only [bin_num, chamfer]); mark N/A as NaN so the
+            # results txt can't confuse "not measured" with a measured zero
             metrics = {
                 "bin_num": int(meta[0]),
                 "chamfer": float(meta[1]),
                 "z_offset": z_offset,
-                "psnr_d1": 0.0,
-                "psnr_d2": 0.0,
+                "psnr_d1": float("nan"),
+                "psnr_d2": float("nan"),
                 "ref_points": ref_pts,
             }
             return results, metrics
@@ -226,7 +229,7 @@ class CodecSession:
             "chamfer": chamfer(ref_pts.copy(), recon.copy()),
             "z_offset": first.z_offset,
             "psnr_d1": psnr_d1,
-            "psnr_d2": psnr_d2 if normals is not None else 0.0,
+            "psnr_d2": psnr_d2 if normals is not None else float("nan"),
             "ref_points": ref_pts,
         }
         return results, metrics
@@ -253,11 +256,19 @@ class CodecSession:
         )
         angular = system in ("spher", "cylin")
 
-        enc = (
-            self.codec.new_stream_encoder()
-            if self.is_ehem
-            else ac.StreamingEncoder()
+        oct_rans = (
+            not self.is_ehem and incremental and self.codec.mode == "rans"
         )
+        if self.is_ehem:
+            enc = self.codec.new_stream_encoder()
+        elif oct_rans:
+            from scp_tpu.codec.octattn_rans import OctRansEncoder
+
+            enc = OctRansEncoder(
+                max(self.codec.max_lane_bucket(ctx) for ctx, _ in results)
+            )
+        else:
+            enc = ac.StreamingEncoder()
         sub_sizes, mms, max_levels, lvl_sizes = [], [], [], []
         timers = [0.0]
         for ctx, _grid in results:
@@ -275,6 +286,13 @@ class CodecSession:
                 max_levels.append(slices.max_level)
                 sub_sizes.append(slices.occ_stream.shape[0])
                 lvl_sizes.append(np.asarray(slices.level_sizes, np.int64))
+            elif oct_rans:
+                timers[0] += self.codec.encode_incremental_into(enc, ctx)
+                _, syms, ml = self.codec.split_levels(ctx)
+                max_levels.append(ml)
+                sub_sizes.append(syms.shape[0])
+                mms.append(np.zeros((ml, 2), np.int64))
+                lvl_sizes.append(_level_counts(ctx, ml))
             elif incremental:
                 rows, syms, t = self.codec.encode_incremental(ctx)
                 timers[0] += t
@@ -311,7 +329,10 @@ class CodecSession:
             qs_rho=float(level_qs(data_type, lidar_level)),
             pos_mm=np.concatenate(mms, axis=0) if mms else np.zeros((0, 2), np.int64),
             subtree_sizes=tuple(sub_sizes),
-            coding_mode=self.codec.mode if self.is_ehem else "full",
+            coding_mode=(
+                self.codec.mode if self.is_ehem
+                else ("rans" if oct_rans else "full")
+            ),
             backend=jax.default_backend(),
             coding_params=self.codec.coding_params() if self.is_ehem else "",
             subtree_levels=tuple(max_levels),
@@ -418,11 +439,17 @@ class CodecSession:
         # a torch .dat; round 2 needed a .manifest.npz).
         max_levels = header.subtree_levels
         grids = header.grids()
-        dec = (
-            self.codec.new_stream_decoder(payload, header.n_sym)
-            if self.is_ehem
-            else ac.ArithmeticDecoder(payload, header.n_sym)
-        )
+        # an octattn "rans" stream IS the incremental device-coder format —
+        # the header pins the schedule, no flag needed
+        oct_rans = not self.is_ehem and header.coding_mode == "rans"
+        if self.is_ehem:
+            dec = self.codec.new_stream_decoder(payload, header.n_sym)
+        elif oct_rans:
+            from scp_tpu.codec.octattn_rans import OctRansDecoder
+
+            dec = OctRansDecoder(payload)
+        else:
+            dec = ac.ArithmeticDecoder(payload, header.n_sym)
 
         t0 = time.time()
         parts = []
@@ -448,6 +475,10 @@ class CodecSession:
                     lidar_clip=int(header.lidar_clip),
                     ground_truth=gt,
                     level_sizes=sizes_i,
+                )
+            elif oct_rans:
+                codes = self.codec.decode_incremental_rans(
+                    dec, ml, ground_truth=gt
                 )
             elif incremental:
                 codes = self.codec.decode_incremental(dec, ml, ground_truth=gt)

@@ -42,6 +42,15 @@ def get_args(argv=None):
     return ap.parse_args(argv)
 
 
+def _fmt_psnr(vals) -> str:
+    """Mean PSNR, or "N/A" for cached-preproc runs (PSNR never measured —
+    the per-file values are NaN, distinct from a measured zero)."""
+    a = np.asarray(vals, np.float64)
+    if np.isnan(a).all():
+        return "N/A"
+    return str(float(np.nanmean(a)))
+
+
 def resolve_run(ckpt_path: str):
     """<run_dir>/ckpt/<name> -> (run_dir, test_output dir).
 
@@ -102,18 +111,18 @@ def main(argv=None):
                   "bit_per_oct", "bpp"):
             print(f"{k:28s}: {stats[k]}")
         print(
-            np.mean(psnrs), np.mean(bpps), np.mean(chamfers), np.mean(times)
+            _fmt_psnr(psnrs), np.mean(bpps), np.mean(chamfers), np.mean(times)
         )
 
     if combine and test_files:
         d2_line = (
-            f"PSNR_D2: {float(np.mean(psnrs_d2))}\n" if args.normals_dir else ""
+            f"PSNR_D2: {_fmt_psnr(psnrs_d2)}\n" if args.normals_dir else ""
         )
         out = (
             f"same {args.lidar_level} {args.test_files} {args.ckpt_path}\n"
             f"sample number: {len(bpps)}\ntimes: {float(np.mean(times))}\n"
             f"bpp: {float(np.mean(bpps))}\nchamfer_dist: {float(np.mean(chamfers))}\n"
-            f"PSNR: {float(np.mean(psnrs))}\n{d2_line}\n"
+            f"PSNR: {_fmt_psnr(psnrs)}\n{d2_line}\n"
         )
         with open(f"test_results_same_{args.type}_{args.lidar_level}.txt", "a") as fh:
             fh.write(out)
