@@ -631,7 +631,9 @@ class EHEMCodec:
     @staticmethod
     def finish_stream(enc):
         """-> (payload bytes, bit count, n_sym for the header)."""
-        if isinstance(enc, rans.RansEncoder):
+        from scp_tpu.codec.octattn_rans import OctRansEncoder
+
+        if isinstance(enc, (rans.RansEncoder, OctRansEncoder)):
             payload = enc.finish()
             return payload, len(payload) * 8, enc.n_symbols
         n_sym = enc.n_sym

@@ -18,6 +18,7 @@ replacing them with pad rows reproduces identical logits).
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -32,10 +33,19 @@ _PAD_OCC = 255
 
 
 class OctAttentionCodec:
-    def __init__(self, model: OctAttention, variables: dict):
+    def __init__(self, model: OctAttention, variables: dict, mode: str | None = None):
+        """mode selects the INCREMENTAL schedule's entropy coder:
+        "rans" (default) keeps the coder on device — the position loop is a
+        pure async dispatch chain with one symbol fetch per level;
+        "full" is the host arithmetic coder (one blocking 512 B/lane CDF
+        fetch + host AC call per position — ~25-40 ms/position over a
+        remote-TPU link, the entire round-3 decode wall).  The window
+        (non-incremental) schedules always use the host coder."""
         self.model = model
         self.variables = jax.device_put(variables)  # pin params on device
         self.csz = model.context_size
+        self.mode = mode or os.environ.get("SCP_OCTATTN_CODER", "rans")
+        assert self.mode in ("rans", "full"), self.mode
         self._fwd_fn = jax.jit(lambda v, d, p: model.apply(v, d, p))
 
         # Batched incremental engine: all chunks of a level decode in
@@ -82,8 +92,18 @@ class OctAttentionCodec:
 
         self._insert_sym_fn = jax.jit(insert_b_sym, donate_argnums=(3,))
         self._buf_put_fn = jax.jit(
-            lambda buf, val, j: buf.at[j].set(val), donate_argnums=(0,)
+            lambda buf, val, j: buf.at[j].set(val[: buf.shape[1]]),
+            donate_argnums=(0,),
         )
+
+        # encode-side device lookup: true symbols -> (cdf_low, freq) pairs
+        # accumulated into the per-level buffer OctRansEncoder consumes
+        from scp_tpu.codec import rans
+
+        def sf_put(buf, rows, syms, j):
+            return buf.at[j].set(rans.gather_start_freq(rows, syms))
+
+        self._sf_put_fn = jax.jit(sf_put, donate_argnums=(0,))
 
     def _fwd(self, d, p):
         return self._fwd_fn(self.variables, d, p)
@@ -313,6 +333,153 @@ class OctAttentionCodec:
             np.concatenate(syms_all).astype(np.int16),
             elapsed[0],
         )
+
+    # -- incremental mode, device rANS coder ---------------------------------
+    #
+    # Same schedule and step programs as above, but the entropy coder lives
+    # on device (codec/octattn_rans.py): encode accumulates per-(position,
+    # lane) (cdf_low, freq) pairs into a device buffer and fetches nothing;
+    # decode is step -> rANS -> cache-insert as one async dispatch chain
+    # with ONE symbol fetch per level.  Kills the per-position blocking CDF
+    # fetch + host AC call that made the host-coder decode 178-267 s/scan
+    # on a remote TPU (BUILDLOG round 3).
+
+    def max_lane_bucket(self, ctx: np.ndarray) -> int:
+        """Lane count for OctRansEncoder: pow2 bucket of this cloud's
+        maximum per-level chunk count."""
+        levels, _, _ = self.split_levels(ctx)
+        mx = max(-(-d.shape[0] // self.csz) for d, _ in levels)
+        return self._lane_count(mx)
+
+    def _steps_bucket(self, max_m: int) -> int:
+        """Pow2 position-count bucket (program/buffer-shape reuse)."""
+        return 1 << max(int(max_m) - 1, 0).bit_length()
+
+    def _lane_rows(self, data, pos, j, lanes, n):
+        """Host-side (lanes, K, 3)/(lanes, K, 3) inputs for position j."""
+        k = data.shape[1]
+        d_j = np.zeros((lanes, k, 3), np.int32)
+        d_j[:, :, 0] = _PAD_OCC
+        p_j = np.zeros((lanes, k, 3), np.float32)
+        for c in range(lanes):
+            i = c * self.csz + j
+            if i < n:
+                d_j[c] = data[i]
+                p_j[c] = pos[i]
+        return d_j, p_j
+
+    def encode_incremental_into(self, enc, ctx: np.ndarray) -> float:
+        """Teacher-forced incremental encode into an open OctRansEncoder
+        (device coder; multi-subtree drivers feed several clouds through
+        one encoder — lane states persist across levels and subtrees).
+        Returns elapsed dispatch seconds; nothing is fetched here (the
+        payload materializes in enc.finish())."""
+        import jax.numpy as jnp
+
+        levels, occ_stream, _ = self.split_levels(ctx)
+        t0 = time.time()
+        off = 0
+        for data, pos in levels:
+            n = data.shape[0]
+            occ = occ_stream[off : off + n]
+            off += n
+            n_chunks = -(-n // self.csz)
+            lanes = self._lane_count(n_chunks)
+            max_m = min(self.csz, n)
+            cache = self._init_cache_b(lanes)
+            sf_buf = jnp.zeros((self._steps_bucket(max_m), lanes, 2), jnp.uint32)
+            for j in range(max_m):
+                d_j, p_j = self._lane_rows(data, pos, j, lanes, n)
+                # true symbols; inactive lanes 0 (masked out in the coder)
+                syms_j = np.zeros(lanes, np.int32)
+                for c in range(n_chunks):
+                    i = c * self.csz + j
+                    if i < n:
+                        syms_j[c] = int(occ[i])
+                cdf_rows, qs = self._step_fn_b(self.variables, d_j, p_j, cache, j)
+                sf_buf = self._sf_put_fn(sf_buf, cdf_rows, jnp.asarray(syms_j), j)
+                # data rows carry the true own occupancy, so d_j IS d_known
+                cache = self._insert_fn_b(self.variables, d_j, p_j, cache, j, qs)
+            enc.append_level(sf_buf, n, self.csz)
+        return time.time() - t0
+
+    def decode_incremental_rans(
+        self, dec, max_level: int, ground_truth: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Incremental decode from an open OctRansDecoder."""
+        import jax.numpy as jnp
+
+        from scp_tpu.codec.octattn_rans import active_count
+
+        k = self.model.ancestors
+        inv_scale = 1.0 / float(2**max_level)
+        anc_d = np.zeros((1, k - 1, 3), np.int32)
+        anc_d[:, :, 0] = _PAD_OCC
+        anc_p = np.zeros((1, k - 1, 3), np.int64)
+        self_d = np.array([[[_PAD_OCC, 1, 1]]], np.int32)
+        self_p = np.zeros((1, 1, 3), np.int64)
+
+        codes = []
+        decoded = 0
+        for level in range(1, max_level + 1):
+            data = np.concatenate([anc_d, self_d], axis=1)
+            pos_int = np.concatenate([anc_p, self_p], axis=1)
+            pos = pos_int.astype(np.float32) * inv_scale
+            n = data.shape[0]
+            n_chunks = -(-n // self.csz)
+            lanes = self._lane_count(n_chunks)
+            assert lanes <= dec.k, (lanes, dec.k)
+            max_m = min(self.csz, n)
+            cache = self._init_cache_b(lanes)
+            syms_buf = jnp.zeros((self._steps_bucket(max_m), lanes), jnp.int32)
+            for j in range(max_m):
+                d_j, p_j = self._lane_rows(data, pos, j, lanes, n)
+                n_act = active_count(n, self.csz, j)
+                cdf_rows, qs = self._step_fn_b(self.variables, d_j, p_j, cache, j)
+                syms = dec.step(cdf_rows, n_act)  # (K,) i32, device
+                cache = self._insert_sym_fn(
+                    self.variables, d_j, p_j, cache, j, qs, syms, n_act
+                )
+                syms_buf = self._buf_put_fn(syms_buf, syms, j)
+            host = np.asarray(syms_buf)  # the level's ONE fetch
+            level_occ = np.empty(n, np.int32)
+            for j in range(max_m):
+                cnt = active_count(n, self.csz, j)
+                level_occ[np.arange(cnt) * self.csz + j] = host[j, :cnt]
+            if ground_truth is not None:
+                want = ground_truth[decoded : decoded + n]
+                assert (want == level_occ.astype(np.int16)).all(), (
+                    f"incremental-rans decode mismatch at level {level}"
+                )
+            decoded += n
+            codes.append(level_occ.astype(np.int16))
+            if level == max_level:
+                break
+            anc_d, anc_p, self_d, self_p = self._next_level_rows(
+                anc_d, self_d, pos_int, level_occ, level, max_level
+            )
+        return np.concatenate(codes)
+
+    @staticmethod
+    def _next_level_rows(anc_d, self_d, pos_int, level_occ, level, max_level):
+        """Child-context expansion shared by the incremental decoders
+        (role of reference decode.py:103-104 child queuing)."""
+        filled = np.concatenate([anc_d, self_d], axis=1)
+        filled[:, -1, 0] = level_occ
+        pidx, octant = occupancy_to_child_octants(level_occ + 1)
+        anc_d = filled[pidx][:, 1:, :]
+        anc_p = pos_int[pidx][:, 1:, :]
+        n_child = pidx.shape[0]
+        self_d = np.zeros((n_child, 1, 3), np.int32)
+        self_d[:, 0, 0] = _PAD_OCC
+        self_d[:, 0, 1] = level + 1
+        self_d[:, 0, 2] = octant + 1
+        unit = np.int64(1) << np.int64(max_level - (level + 1) + 1)
+        bits = np.stack(
+            [(octant >> 2) & 1, (octant >> 1) & 1, octant & 1], axis=1
+        ).astype(np.int64)
+        self_p = (pos_int[pidx][:, -1, :] + bits * unit)[:, None, :]
+        return anc_d, anc_p, self_d, self_p
 
     def decode_incremental(
         self,
