@@ -1,0 +1,142 @@
+"""Cross-implementation weight transplant: reference torch -> Flax.
+
+The decisive rate-parity instrument (VERDICT r3 missing #1): export a
+RANDOM-init reference torch model's state_dict, import it through
+tools/import_torch_ckpt, and assert forward logits agree on shared
+inputs — no dataset or trained checkpoint needed.  Requires the
+read-only reference tree (skipped when absent).
+"""
+
+from __future__ import annotations
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("SCP_REFERENCE_DIR", "/root/reference")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+
+def _sd_numpy(torch_model):
+    return {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+
+
+def _bits_per_node(logits: np.ndarray, labels: np.ndarray) -> float:
+    x = logits - logits.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    return float(-logp[np.arange(len(labels)), labels].mean() / np.log(2))
+
+
+# ---- OctAttention (configurable dims -> fast CPU test) ----------------------
+
+
+def _tiny_oa_cfg():
+    m = types.SimpleNamespace(
+        token_num=255, occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, max_octree_level=12, layer_num=2, head_num=2,
+        hidden_dimension=64, context_size=64, level_k=4, pos_embed=True,
+    )
+    return types.SimpleNamespace(
+        model=m, train=types.SimpleNamespace(type="kitti", dropout=0.0)
+    )
+
+
+def test_octattention_import_and_logit_parity(rng):
+    import torch
+
+    import jax
+
+    from scp_tpu.models.octattention import OctAttention
+    from scp_tpu.tools.import_torch_ckpt import import_state_dict, verify_tree
+    from scp_tpu.tools.ref_baseline import _import_reference
+
+    _import_reference()  # installs the pl shim + reference sys.path
+    from models.oct_attention import OctAttention as RefOA
+
+    torch.manual_seed(0)
+    ref = RefOA(_tiny_oa_cfg()).eval()
+    variables = import_state_dict(_sd_numpy(ref), model="octattention")
+    kw = dict(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=64,
+    )
+    verify_tree({"params": variables["params"]}, "octattention", kw)
+
+    b, n, k = 2, 48, 4
+    data = np.stack(
+        [rng.integers(0, 256, (b, n, k)), rng.integers(1, 13, (b, n, k)),
+         rng.integers(0, 9, (b, n, k))], axis=-1,
+    ).astype(np.int64)
+    pos = rng.random((b, n, k, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(data), torch.from_numpy(pos)).numpy()
+
+    model = OctAttention(**kw)
+    got = np.asarray(
+        model.apply(variables, data.astype(np.int32), pos)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    labels = rng.integers(0, 255, b * n)
+    ours = _bits_per_node(got.reshape(-1, 255), labels)
+    ref_b = _bits_per_node(want.reshape(-1, 255), labels)
+    assert abs(ours - ref_b) / ref_b < 1e-3
+
+
+# ---- EHEM (reference dims are hardcoded full-size -> slow) -------------------
+
+
+@pytest.mark.slow
+def test_ehem_import_and_logit_parity(rng):
+    """Full-size EHEM transplant at N=8192 (every Swin stage >= the 512
+    window, so neither side's short-input path engages).  Asserts logit
+    agreement and <0.1% rate delta on random labels."""
+    import torch
+
+    from scp_tpu.models.ehem import EHEM
+    from scp_tpu.tools.import_torch_ckpt import import_state_dict, verify_tree
+    from scp_tpu.tools.ref_baseline import _import_reference, _ref_cfg
+
+    RefEHEM = _import_reference()
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    ref = RefEHEM(_ref_cfg()).eval()
+    variables = import_state_dict(_sd_numpy(ref), model="ehem")
+    verify_tree(variables, "ehem")
+
+    b, n = 1, 8192
+    data = np.stack(
+        [rng.integers(1, 14, (b, n, 4)), rng.integers(1, 9, (b, n, 4)),
+         rng.integers(1, 256, (b, n, 4))], axis=-1,
+    ).astype(np.int64)  # (level, octant, occ)
+    pos = rng.random((b, n, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want1, want2 = ref(
+            torch.from_numpy(data), torch.from_numpy(pos).transpose(1, 2),
+            enc=True,
+        )
+    want1, want2 = want1.numpy(), want2.numpy()
+
+    model = EHEM()  # defaults == reference hardcoded dims
+    got1, got2 = model.apply(
+        variables, data.astype(np.int32), pos, method=EHEM.encode_probs
+    )
+    got1, got2 = np.asarray(got1), np.asarray(got2)
+
+    # KNN graphs are recomputed from float distances on both sides; a
+    # handful of boundary neighbors may differ, so compare in rate terms
+    # plus a tight elementwise quantile rather than a strict max.
+    for got, want in ((got1, want1), (got2, want2)):
+        diff = np.abs(got - want)
+        assert np.quantile(diff, 0.999) < 2e-2, np.quantile(diff, 0.999)
+        labels = rng.integers(0, 255, got.shape[1])
+        ours = _bits_per_node(got[0], labels)
+        refb = _bits_per_node(want[0], labels)
+        assert abs(ours - refb) / refb < 1e-3, (ours, refb)
