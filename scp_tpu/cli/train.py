@@ -21,12 +21,20 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
+    # multi-host (DCN) bring-up must precede every other JAX call — it
+    # changes the device topology (SCP_MULTIHOST / SCP_COORDINATOR env,
+    # recipe in scp_tpu/train/distributed.py)
+    from scp_tpu.train.distributed import maybe_initialize
+
+    pid = maybe_initialize()
+
     from scp_tpu.config import load_config
     from scp_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     cfg = load_config(args.config_name, args.config_dir, args.overrides)
-    print(cfg.to_plain())
+    if pid == 0:
+        print(cfg.to_plain())
 
     import jax
 
@@ -51,10 +59,12 @@ def main(argv=None):
         val_ds = ShardDataset(
             root=str(cfg.data.get("val_root") or cfg.data.root),
             context_size=cfg.data.context_size,
-            batch_size=cfg.data.batch_size,
+            batch_size=dataset.batch_size,  # local slice (multi-host DP)
             mode=dataset.mode,
             vari_data_len=False,
             seed=seed + 1,
+            process_index=dataset.process_index,
+            process_count=dataset.process_count,
         )
         gen = val_ds.batches()
         val_batches = [next(gen) for _ in range(n_val)]

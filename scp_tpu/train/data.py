@@ -41,7 +41,14 @@ class ShardDataset:
         mode: str = "octattn",  # "octattn" | "ehem"
         vari_data_len: bool = False,
         seed: int = 42,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the PER-PROCESS (local) batch; under multi-host
+        DP each process draws a process-strided slice of every global
+        batch, so the global batch content — and the epoch-keyed
+        randomness — is independent of the process count (see
+        train/distributed.py)."""
         self.files = sorted(glob.glob(root))
         if not self.files:
             raise FileNotFoundError(f"no shards match {root!r}")
@@ -50,6 +57,9 @@ class ShardDataset:
         self.mode = mode
         self.vari_data_len = vari_data_len
         self.seed = int(seed)
+        assert 0 <= process_index < process_count, (process_index, process_count)
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
         self.total_nodes = 0
         for f in self.files:
             try:
@@ -58,7 +68,8 @@ class ShardDataset:
                 self.total_nodes += np.load(f, mmap_mode="r").shape[0]
 
     def steps_per_epoch(self) -> int:
-        return max(self.total_nodes // (self.context_size * self.batch_size), 1)
+        global_bs = self.batch_size * self.process_count
+        return max(self.total_nodes // (self.context_size * global_bs), 1)
 
     def _window(self, shards, fi: int, w: int, max_levels: dict):
         """One (data(N,4,3) int32, pos float32, label int32) window."""
@@ -117,10 +128,15 @@ class ShardDataset:
             sizes = erng.choice(EHEM_LEN_BUCKETS, size=spe)
             while step // spe == epoch:
                 i = step % spe
+                # this process's contiguous slice of global batch i: the
+                # global batch is [p0 rows | p1 rows | ...] in process order
+                base = (
+                    i * self.batch_size * self.process_count
+                    + self.process_index * self.batch_size
+                )
                 items = [
                     self._window(
-                        shards, *index[perm[(i * self.batch_size + j) % n_win]],
-                        max_levels,
+                        shards, *index[perm[(base + j) % n_win]], max_levels
                     )
                     for j in range(self.batch_size)
                 ]
@@ -169,12 +185,24 @@ def prefetch(generator, depth: int = 2):
 
 
 def build_dataset(cfg) -> ShardDataset:
+    """cfg.data.batch_size is the GLOBAL batch; under multi-host DP each
+    process's dataset yields its 1/process_count local slice."""
+    import jax
+
     mode = "ehem" if str(cfg.data.dataset_name).upper().startswith("EHEM") else "octattn"
+    pcount, pid = jax.process_count(), jax.process_index()
+    global_bs = int(cfg.data.batch_size)
+    if global_bs % pcount:
+        raise ValueError(
+            f"global batch {global_bs} not divisible by {pcount} processes"
+        )
     return ShardDataset(
         root=cfg.data.root,
         context_size=cfg.data.context_size,
-        batch_size=cfg.data.batch_size,
+        batch_size=global_bs // pcount,
         mode=mode,
         vari_data_len=bool(cfg.data.get("vari_data_len", False)),
         seed=int(cfg.get("seed", 42)),
+        process_index=pid,
+        process_count=pcount,
     )

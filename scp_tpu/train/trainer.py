@@ -154,10 +154,12 @@ class Trainer:
         )
 
     def train_step(self, state, batch):
+        from scp_tpu.train.distributed import put_global
+
         if self._train_step is None:
             self._train_step = self._build_step()
-        batch = jax.device_put(
-            {k: jnp.asarray(v) for k, v in batch.items()}, self.batch_shard
+        batch = put_global(
+            {k: np.asarray(v) for k, v in batch.items()}, self.batch_shard
         )
         return self._train_step(state, batch)
 
@@ -183,12 +185,14 @@ class Trainer:
 
     def evaluate(self, state, val_batches) -> float:
         """Mean held-out bits/node over a fixed batch list."""
+        from scp_tpu.train.distributed import put_global
+
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         total = 0.0
         for batch in val_batches:
-            b = jax.device_put(
-                {k: jnp.asarray(v) for k, v in batch.items()}, self.batch_shard
+            b = put_global(
+                {k: np.asarray(v) for k, v in batch.items()}, self.batch_shard
             )
             total += float(self._eval_step(state, b))
         return total / max(len(val_batches), 1)
@@ -207,9 +211,16 @@ class Trainer:
 
         cfg = self.cfg
         epochs = epochs or int(cfg.train.epoch)
+        # run-dir artifacts (config, metrics, checkpoints) are written by
+        # process 0 only: state is fully replicated under DP, so its copy
+        # is complete, and multi-host runs often share one filesystem
+        lead = jax.process_index() == 0
         os.makedirs(run_dir, exist_ok=True)
-        save_config(cfg, run_dir)
+        if lead:
+            save_config(cfg, run_dir)
         metrics_path = os.path.join(run_dir, "metrics.jsonl")
+        if not lead:
+            metrics_path = os.devnull
 
         from scp_tpu.train.data import prefetch
 
@@ -296,7 +307,11 @@ class Trainer:
                             f"epoch {epoch} step {step} "
                             f"VAL {val:.4f} bits/node", flush=True
                         )
-                if cfg.train.get("ckpt_every_epoch", True):
+                if lead and cfg.train.get("ckpt_every_epoch", True):
                     ckpt.save(run_dir, state, self._constants, epoch=epoch, step=step)
-        ckpt.save(run_dir, state, self._constants, epoch=epochs - 1, step=step, final=True)
+        if lead:
+            ckpt.save(
+                run_dir, state, self._constants, epoch=epochs - 1, step=step,
+                final=True,
+            )
         return state

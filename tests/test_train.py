@@ -206,6 +206,76 @@ def test_resume_matches_uninterrupted_run(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_process_sliced_batches_compose_to_global(tmp_path, rng):
+    """Multi-host data contract (train/distributed.py): P process-local
+    datasets, stacked in process order, reproduce exactly the single-
+    process global batch stream — the global batch content is independent
+    of the process count."""
+    root = make_shards(tmp_path, rng)
+    kw = dict(context_size=64, mode="ehem", vari_data_len=True, seed=9)
+    ds1 = ShardDataset(root, batch_size=4, **kw)
+    parts = [
+        ShardDataset(
+            root, batch_size=2, process_index=p, process_count=2, **kw
+        )
+        for p in range(2)
+    ]
+    assert ds1.steps_per_epoch() == parts[0].steps_per_epoch()
+    g = ds1.batches()
+    gs = [p.batches() for p in parts]
+    for _ in range(2 * ds1.steps_per_epoch() + 1):
+        want = next(g)
+        got = [next(x) for x in gs]
+        for key in ("data", "pos", "label"):
+            np.testing.assert_array_equal(
+                want[key], np.concatenate([b[key] for b in got])
+            )
+
+
+def test_distributed_single_process_smoke(tmp_path, rng):
+    """SCP_COORDINATOR-gated jax.distributed bring-up: initialize a
+    1-process cluster, run real training steps through put_global
+    (SURVEY §2.6 multi-host entry).  jax.distributed.initialize must
+    precede backend creation, so the smoke runs in a subprocess."""
+    import subprocess
+    import sys
+
+    from scp_tpu.train import distributed
+
+    assert distributed.maybe_initialize(env={}) == 0  # unset -> no-op
+
+    root = make_shards(tmp_path, rng)
+    prog = f"""
+import jax
+# the axon sitecustomize overrides JAX_PLATFORMS; pin CPU explicitly
+jax.config.update("jax_platforms", "cpu")
+from scp_tpu.train.distributed import maybe_initialize
+assert maybe_initialize() == 0
+assert jax.process_count() == 1
+from tests.test_train import tiny_cfg
+from scp_tpu.train.data import build_dataset
+from scp_tpu.train.trainer import Trainer
+cfg = tiny_cfg({str(root)!r})
+state = Trainer(cfg, steps_per_epoch=2).fit(
+    build_dataset(cfg), {str(tmp_path / "dist")!r}, epochs=1
+)
+assert int(state.step) == 2
+print("DIST_SMOKE_OK")
+"""
+    env = dict(
+        os.environ,
+        SCP_COORDINATOR="localhost:12357",
+        SCP_NUM_PROCESSES="1",
+        SCP_PROCESS_ID="0",
+        JAX_PLATFORMS="cpu",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog], env=env, capture_output=True,
+        text=True, timeout=580, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert "DIST_SMOKE_OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_warm_start_partial(tmp_path, rng):
     from scp_tpu.train import checkpoints
 
