@@ -612,6 +612,8 @@ class EHEMCodec:
             # float math): fused multiscale heads, folded inference BN,
             # score-matrix storage dtype
             f"msfuse={0 if os.environ.get('SCP_NO_MSFUSE') else 1};"
+            f"fusedmlp={0 if os.environ.get('SCP_NO_FUSED_MLP') else 1};"
+            f"fusedattn={0 if os.environ.get('SCP_NO_FUSED_ATTN') else 1};"
             f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
             f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
             f"pallas_knn={1 if os.environ.get('SCP_PALLAS_KNN') else 0};"
@@ -1043,7 +1045,34 @@ class EHEMCodec:
                 )
         return np.concatenate(codes)
 
+    def decode_steps(
+        self, dec, max_level, pos_mm, angular, lidar_clip=None,
+        ground_truth=None, level_sizes=None,
+    ):
+        """Public stepper for interleaved multi-cloud decoding (rans mode):
+        a generator yielding per dispatched level; StopIteration.value is
+        the decoded codes (drive with the bench's round-robin loop)."""
+        assert self.mode == "rans", self.mode
+        return self._decode_rans_steps(
+            dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
+            ground_truth,
+        )
+
     def _decode_rans_device(
+        self, dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
+        ground_truth,
+    ):
+        gen = self._decode_rans_steps(
+            dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
+            ground_truth,
+        )
+        try:
+            while True:
+                next(gen)
+        except StopIteration as e:
+            return e.value
+
+    def _decode_rans_steps(
         self, dec, max_level, pos_mm, angular, lidar_clip, level_sizes,
         ground_truth,
     ):
@@ -1054,7 +1083,12 @@ class EHEMCodec:
         (shapes are known from the header), so the one host round-trip of
         the whole decode is the final 1 B/node output fetch.  Role of the
         reference wavefront (decode_ehem.py:102-188) with the host taken
-        off the critical path."""
+        off the critical path.
+
+        Written as a GENERATOR yielding after each level's dispatch so a
+        driver can interleave several independent decodes (bench.py
+        --pipeline: cloud B's dispatches ride in cloud A's host gaps);
+        the return value (StopIteration.value) is the decoded codes."""
         import jax.numpy as jnp
 
         sizes = [int(s) for s in level_sizes]
@@ -1089,6 +1123,7 @@ class EHEMCodec:
                             np.int32(sizes[li + 1]), np.int32(level + 1), unit,
                         )
                 off += n
+                yield li
                 continue
 
             calls, _ = plans[li]
@@ -1141,6 +1176,7 @@ class EHEMCodec:
                         np.int32(sizes[li + 1]), np.int32(level + 1), unit,
                     )
             off += n
+            yield li
 
         with self.timers.stage("fetch_out"):
             if hasattr(out, "copy_to_host_async"):

@@ -164,31 +164,107 @@ class SwinBlock1D(nn.Module):
         shift = self.shift if padded > w else 0
 
         norm1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm1")
-
-        def to_windows(t):
-            t = norm1(t).astype(self.dtype)
-            t = jnp.pad(t, ((0, 0), (0, pad), (0, 0)))
-            if shift:
-                t = jnp.roll(t, -shift, axis=1)
-            return t.reshape(b, padded // w, w, c)
-
-        xw = to_windows(x)
-        qw = to_windows(query) if self.cross else None
-        mask = jnp.asarray(_shift_mask(padded, w, shift)) if shift else None
-        out = WindowAttention1D(
+        attn_mod = WindowAttention1D(
             c, cfg.num_heads, w, cfg.qkv_bias, cross=self.cross,
             dtype=self.dtype, name="attn",
-        )(xw, mask=mask, query=qw)
-        out = out.reshape(b, padded, c)
-        if shift:
-            out = jnp.roll(out, shift, axis=1)
-        out = out[:, :n]
+        )
+        from scp_tpu.ops import pallas_swin
 
-        x = x + out
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(int(cfg.mlp_ratio * c), dtype=self.dtype, name="mlp1")(h.astype(self.dtype))
+        if (
+            not self.is_initializing()
+            and pad == 0
+            and cfg.qkv_bias
+            and pallas_swin.supported(n, w, c, cfg.num_heads)
+            and not os.environ.get("SCP_NO_FUSED_ATTN")
+        ):
+            # fused sublayer: LN, QKV, window attention, projection and
+            # the residual all stay in VMEM per window (stamped in
+            # coding_params as fusedattn); shift rolls remain XLA copies
+            ap = attn_mod.variables["params"]
+            n1 = norm1.variables["params"]
+            rel_idx = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
+            rel_bias = ap["rel_pos_bias"][rel_idx].transpose(2, 0, 1)
+            mask = (
+                jnp.asarray(_shift_mask(padded, w, shift))
+                if shift
+                else jnp.zeros((1, w, w), jnp.float32)
+            )
+
+            def to_w(t):
+                if shift:
+                    t = jnp.roll(t, -shift, axis=1)
+                return t.reshape(b * (n // w), w, c)
+
+            if self.cross:
+                out = pallas_swin.attn_sublayer_cross(
+                    to_w(x), to_w(query), n1["scale"], n1["bias"],
+                    ap["query"]["kernel"].astype(self.dtype),
+                    ap["query"]["bias"],
+                    ap["kv"]["kernel"].astype(self.dtype), ap["kv"]["bias"],
+                    rel_bias, mask,
+                    ap["proj"]["kernel"].astype(self.dtype),
+                    ap["proj"]["bias"],
+                    cfg.num_heads, cfg.layer_norm_eps,
+                )
+            else:
+                out = pallas_swin.attn_sublayer_self(
+                    to_w(x), n1["scale"], n1["bias"],
+                    ap["qkv"]["kernel"].astype(self.dtype), ap["qkv"]["bias"],
+                    rel_bias, mask,
+                    ap["proj"]["kernel"].astype(self.dtype),
+                    ap["proj"]["bias"],
+                    cfg.num_heads, cfg.layer_norm_eps,
+                )
+            x = out.reshape(b, n, c)
+            if shift:
+                x = jnp.roll(x, shift, axis=1)
+        else:
+            def to_windows(t):
+                t = norm1(t).astype(self.dtype)
+                t = jnp.pad(t, ((0, 0), (0, pad), (0, 0)))
+                if shift:
+                    t = jnp.roll(t, -shift, axis=1)
+                return t.reshape(b, padded // w, w, c)
+
+            xw = to_windows(x)
+            qw = to_windows(query) if self.cross else None
+            mask = jnp.asarray(_shift_mask(padded, w, shift)) if shift else None
+            out = attn_mod(xw, mask=mask, query=qw)
+            out = out.reshape(b, padded, c)
+            if shift:
+                out = jnp.roll(out, shift, axis=1)
+            out = out[:, :n]
+            x = x + out
+        f = int(cfg.mlp_ratio * c)
+        norm2 = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm2"
+        )
+        mlp1 = nn.Dense(f, dtype=self.dtype, name="mlp1")
+        mlp2 = nn.Dense(c, dtype=self.dtype, name="mlp2")
+        from scp_tpu.ops import pallas_mlp
+
+        if (
+            not self.is_initializing()
+            and pallas_mlp.supported(b * n, c, f)
+            and not os.environ.get("SCP_NO_FUSED_MLP")
+        ):
+            # fused LN+MLP+residual: the (N, 4C) intermediate and the LN
+            # output never touch HBM (stamped in coding_params as
+            # fusedmlp — changes rounding points vs the XLA path)
+            p = lambda mod: mod.variables["params"]  # noqa: E731
+            n2, m1, m2 = p(norm2), p(mlp1), p(mlp2)
+            y = pallas_mlp.ln_mlp_residual(
+                x.reshape(b * n, c),
+                n2["scale"], n2["bias"],
+                m1["kernel"].astype(self.dtype), m1["bias"],
+                m2["kernel"].astype(self.dtype), m2["bias"],
+                cfg.layer_norm_eps, "gelu",
+            )
+            return y.reshape(b, n, c)
+        h = norm2(x)
+        h = mlp1(h.astype(self.dtype))
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c, dtype=self.dtype, name="mlp2")(h)
+        h = mlp2(h)
         return x + h
 
 

@@ -139,10 +139,13 @@ def test_every_inference_env_knob_is_stamped():
         "SCP_PALLAS_KNN": "pallas_knn=",
         "SCP_KNN_F32": "knn_f32=",
         "SCP_NO_MSFUSE": "msfuse=",
+        "SCP_NO_FUSED_MLP": "fusedmlp=",
+        "SCP_NO_FUSED_ATTN": "fusedattn=",
         "SCP_NO_BNFOLD": "bnfold=",
         "SCP_CODEC_GROUP": "group=",
         "SCP_CODEC_DTYPE": "dtype=",
         "SCP_CODEC_MODE": "",  # dedicated header field: coding_mode
+        "SCP_OCTATTN_CODER": "",  # dedicated header field: coding_mode
     }
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
