@@ -617,6 +617,13 @@ class EHEMCodec:
             f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
             f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
             f"pallas_knn={1 if os.environ.get('SCP_PALLAS_KNN') else 0};"
+            f"staticknn={1 if os.environ.get('SCP_STATIC_KNN') else 0};"
+            # the one-hot lookup itself is bit-exact vs the gather
+            # (test_onehot_embed_matches_gather) but swapping it changes
+            # XLA's fusion choices DOWNSTREAM of the embeds, which moves
+            # rounding points elsewhere in the phase program (measured:
+            # CDF rows differ on chip between the two builds) — stamped
+            f"onehotembed={0 if os.environ.get('SCP_NO_ONEHOT_EMBED') else 1};"
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 

@@ -111,6 +111,23 @@ class GeoFeatGenerator(nn.Module):
         self.edge_mlp1 = MLP([256, 256, 256], dtype=self.dtype)
         self.edge_mlp2 = MLP([256, 256, 128], dtype=self.dtype)
 
+    def _lookup(self, emb: nn.Embed, ids):
+        """Embed lookup as a one-hot matmul (bit-exact vs the row gather:
+        exactly one nonzero per one-hot row, so the f32-accumulated product
+        is the table value itself and the cast back to the compute dtype is
+        lossless).  TPU row gathers cost ~4 ns/row regardless of row width
+        (measured, scratch/prof_trunk_chain.py) — the 3 ancestor-embedding
+        lookups at 16x8192x4 were 7.9 ms of the geo trunk, vs <1 ms as MXU
+        one-hot matmuls.  SCP_NO_ONEHOT_EMBED=1 restores the gather (A/B)."""
+        table = emb.embedding.astype(self.dtype)
+        if os.environ.get("SCP_NO_ONEHOT_EMBED"):
+            return jnp.take(table, ids, axis=0)
+        oh = jax.nn.one_hot(ids, table.shape[0], dtype=self.dtype)
+        out = jnp.einsum(
+            "...v,vc->...c", oh, table, preferred_element_type=jnp.float32
+        )
+        return out.astype(self.dtype)
+
     def __call__(self, data, pos, train: bool = False):
         """data: (B, N, 11) int — 4x(level, octant, occ) minus current occ;
         pos: (B, N, 3) float normalized positions. Returns (B, N, 256)."""
@@ -120,21 +137,30 @@ class GeoFeatGenerator(nn.Module):
         occ = data[:, :, 2::3]
         x = jnp.concatenate(
             [
-                self.occ_enc(occ).reshape(b, n, -1),
-                self.level_enc(level).reshape(b, n, -1),
-                self.octant_enc(octant).reshape(b, n, -1),
+                self._lookup(self.occ_enc, occ).reshape(b, n, -1),
+                self._lookup(self.level_enc, level).reshape(b, n, -1),
+                self._lookup(self.octant_enc, octant).reshape(b, n, -1),
             ],
             axis=-1,
-        )  # (B, N, 80)
+        )  # (B, N, 96)
 
         k = min(self.k, n)
         pos = pos.astype(self.dtype)
-        pos1 = self.conv1(pos, knn_indices(pos, k), train)
+        idx1 = knn_indices(pos, k)
+        # SCP_STATIC_KNN=1: reuse the position graph for all three EdgeConv
+        # rounds instead of recomputing KNN on the feature tensors (the
+        # dynamic graph is the reference DGCNN behavior and the default).
+        # The two feature KNNs are ~14 ms of a 99 ms p1 call at 16x8192
+        # (scratch/prof_trunk_chain.py); a checkpoint ADAPTED to the static
+        # graph recovers the rate (receipt in BUILDLOG round 4).  Changes
+        # the phase programs' float math -> stamped in coding_params.
+        static = bool(os.environ.get("SCP_STATIC_KNN"))
+        pos1 = self.conv1(pos, idx1, train)
         f2 = jnp.concatenate([pos1, x], -1)
-        pos2 = self.conv2(f2, knn_indices(f2, k), train)
+        pos2 = self.conv2(f2, idx1 if static else knn_indices(f2, k), train)
         x = self.mlp2(x)
         f3 = jnp.concatenate([pos2, x], -1)
-        pos3 = self.conv3(f3, knn_indices(f3, k), train)
+        pos3 = self.conv3(f3, idx1 if static else knn_indices(f3, k), train)
         x = self.mlp3(x)
 
         ec = self.edge_mlp1(jnp.concatenate([pos1, pos2, pos3], -1))
@@ -142,4 +168,4 @@ class GeoFeatGenerator(nn.Module):
         return jnp.concatenate([x, ec], -1)  # (B, N, 256)
 
     def embed_occ(self, occ):
-        return self.occ_enc(occ)
+        return self._lookup(self.occ_enc, occ)

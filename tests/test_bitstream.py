@@ -146,6 +146,10 @@ def test_every_inference_env_knob_is_stamped():
         "SCP_CODEC_DTYPE": "dtype=",
         "SCP_CODEC_MODE": "",  # dedicated header field: coding_mode
         "SCP_OCTATTN_CODER": "",  # dedicated header field: coding_mode
+        "SCP_STATIC_KNN": "staticknn=",
+        # the lookup is bit-exact vs the gather, but swapping it changes
+        # XLA fusion downstream (CDF rows measurably differ on chip)
+        "SCP_NO_ONEHOT_EMBED": "onehotembed=",
     }
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

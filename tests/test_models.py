@@ -300,3 +300,27 @@ def test_edgeconv_bn_fold_matches_batchnorm(rng, monkeypatch):
     monkeypatch.setenv("SCP_NO_BNFOLD", "1")
     oracle = np.asarray(model.apply(variables, data, pos))
     np.testing.assert_allclose(folded, oracle, atol=2e-4)
+
+
+def test_onehot_embed_matches_gather(rng, monkeypatch):
+    """The one-hot-matmul embedding lookup must be BIT-exact vs the row
+    gather (exactly one nonzero per one-hot row: the f32-accumulated
+    product is the table value itself), in f32 and bf16."""
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = tiny_ehem().clone(dtype=dtype)
+        data, pos = make_ehem_inputs(rng, n=64)
+        variables = model.init(jax.random.PRNGKey(0), data, pos)
+
+        def geo(mdl, d, p):
+            flat = d.reshape(d.shape[0], d.shape[1], -1)[:, :, :-1]
+            return mdl.geo(flat, p, train=False)
+
+        onehot = np.asarray(
+            model.apply(variables, data, pos, method=geo), np.float32
+        )
+        monkeypatch.setenv("SCP_NO_ONEHOT_EMBED", "1")
+        oracle = np.asarray(
+            model.apply(variables, data, pos, method=geo), np.float32
+        )
+        monkeypatch.delenv("SCP_NO_ONEHOT_EMBED")
+        np.testing.assert_array_equal(onehot, oracle)

@@ -287,3 +287,35 @@ def test_octattention_roundtrip(rng):
         np.sort(morton_encode(rec, tree.max_level)),
         np.sort(morton_encode(pts, tree.max_level)),
     )
+
+
+def test_ehem_roundtrip_static_knn(rng, monkeypatch):
+    """SCP_STATIC_KNN=1 (position graph reused for all EdgeConv rounds)
+    threads consistently through encode and decode: lossless roundtrip and
+    the knob stamped in the header."""
+    monkeypatch.setenv("SCP_STATIC_KNN", "1")
+    model = EHEM(
+        self_depths=(2, 2), cross_depths=(1,), embed_dim=64, num_heads=2,
+        window_size=16, mlp_ratio=2.0, knn_k=4,
+    )
+    d = np.zeros((1, 8, 4, 3), np.int32)
+    p = np.zeros((1, 8, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), d, p)
+    codec = EHEMCodec(model, variables, context_size=64, mode="rans")
+    assert "staticknn=1" in codec.coding_params()
+    pts = lidar_like(rng)
+    res = preprocess_points(pts, system="spher", qs=60.0 / 127)
+    slices = split_levels(res.context, angular=True)
+    stream, bits, _ = codec.encode_to_stream(slices)
+    dec = codec.new_stream_decoder(
+        stream, codec.ac_symbols_per_node * slices.occ_stream.shape[0]
+    )
+    codes = codec.decode(
+        dec,
+        slices.max_level,
+        np.array(slices.pos_mm, np.int64),
+        angular=True,
+        ground_truth=slices.occ_stream,
+        level_sizes=slices.level_sizes,
+    )
+    np.testing.assert_array_equal(codes, slices.occ_stream)
