@@ -147,10 +147,21 @@ def main():
     t_pre = time.time() - t0
 
     model = EHEM(dtype=jnp.bfloat16)
-    ckpt = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "checkpoints", "ehem_synth_f16.npz",
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("BENCH_CKPT") or ""
+    if not ckpt:
+        # Default: the static-KNN-adapted checkpoint + knob (position KNN
+        # graph reused for all three EdgeConv rounds).  Measured 60,040
+        # pts/s vs 55.5k dynamic at +0.27% rate (bpp 18.225 vs 18.175;
+        # adaptation receipt: checkpoints/ehem_synth_f16_sknn.metrics.jsonl,
+        # val 3.0998 vs 3.094 bits/node).  SCP_STATIC_KNN=0 restores the
+        # reference-matching dynamic-graph path with the base checkpoint.
+        sknn = os.path.join(here, "checkpoints", "ehem_synth_f16_sknn.npz")
+        if os.environ.get("SCP_STATIC_KNN", "1") != "0" and os.path.exists(sknn):
+            os.environ["SCP_STATIC_KNN"] = "1"
+            ckpt = sknn
+        else:
+            ckpt = os.path.join(here, "checkpoints", "ehem_synth_f16.npz")
     if os.path.exists(ckpt):
         from scp_tpu.train.checkpoints import load_params_npz
 
