@@ -129,6 +129,13 @@ def pipeline_bench(codec, slices_list):
 def main():
     _wait_for_backend()
 
+    # env vars alone are ignored on the axon backend (sitecustomize
+    # initializes JAX first) — this applies jax.config.update so compiled
+    # programs actually persist across processes
+    from scp_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -202,11 +209,11 @@ def main():
     print(f"# warm dec pass: {time.time() - t0:.1f}s", file=sys.stderr)
     codec.timers.totals.clear(), codec.timers.counts.clear()
 
-    # two measured passes, best total kept: the TPU tunnel has ~10%
+    # three measured passes, best total kept: the TPU tunnel has ~10%
     # run-to-run variance and occasional multi-second hiccups; steady-state
     # throughput is the quantity of record
     best = None
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         stream, bits, model_s = codec.encode_to_stream(slices)
         t_enc = time.time() - t0

@@ -15,9 +15,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/scp_tpu_xla"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
