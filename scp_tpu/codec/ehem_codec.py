@@ -624,6 +624,9 @@ class EHEMCodec:
             # rounding points elsewhere in the phase program (measured:
             # CDF rows differ on chip between the two builds) — stamped
             f"onehotembed={0 if os.environ.get('SCP_NO_ONEHOT_EMBED') else 1};"
+            # k-major gather+max is bit-exact per node but, like the
+            # one-hot swap, changes XLA fusion downstream — stamped
+            f"kmajormax={0 if os.environ.get('SCP_NO_KMAJOR_MAX') else 1};"
             f"mesh={0 if self.mesh is None else self.mesh.devices.size}"
         )
 

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from scp_tpu.models.layers import MLP
-from scp_tpu.ops.knn import edge_features, gather_neighbors, knn_indices  # noqa: F401
+from scp_tpu.ops.knn import (  # noqa: F401
+    edge_features,
+    gather_neighbors,
+    knn_indices,
+    max_over_neighbors,
+)
 
 
 class EdgeConv(nn.Module):
@@ -83,7 +88,7 @@ class EdgeConv(nn.Module):
         t = (p["bias"] - st["mean"] * s).astype(jnp.float32)
         a = (a.astype(jnp.float32) * s).astype(self.dtype)
         bc = (bc.astype(jnp.float32) * s + t).astype(self.dtype)
-        h = jnp.max(gather_neighbors(a, idx), axis=2) + bc  # (B, N, F)
+        h = max_over_neighbors(a, idx) + bc  # (B, N, F)
         return nn.leaky_relu(h, negative_slope=0.2)
 
 

@@ -172,6 +172,31 @@ def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, idx.shape[1], idx.shape[2], c)
 
 
+def max_over_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feats (B, N, C), idx (B, N, k) -> (B, N, C): max over the k
+    gathered neighbor rows, gathered in K-MAJOR order.
+
+    `max(gather_neighbors(...), axis=2)` makes XLA materialize the
+    (B, N, k, C) node-major tensor and re-read it for the reduce; with the
+    gather laid out k-major — all nodes' neighbor 0, then neighbor 1, … —
+    the reduce runs over the LEADING axis of k contiguous (B, N, C)
+    slabs, which XLA folds into the gather consumer.  Chip A/B at
+    (8, 8192, 20), locality-matched indices (scratch/prof_gather_max.py):
+    5.77/5.60/8.15 ms vs 7.23/7.09/10.46 ms for F=64/128/256.  Bit-exact
+    vs the node-major form (same value multiset per node; max has no
+    rounding).  SCP_NO_KMAJOR_MAX=1 restores the node-major reduce.
+    Inference-path helper — its backward is fine but untuned; training
+    keeps the explicit (B, N, k, C) edge tensor for BatchNorm anyway."""
+    if os.environ.get("SCP_NO_KMAJOR_MAX"):
+        return jnp.max(gather_neighbors(feats, idx), axis=2)
+    b, n, c = feats.shape
+    flat = feats.reshape(b * n, c)
+    base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
+    km = jnp.moveaxis(idx + base, -1, 0).reshape(-1)  # k-major flat order
+    g = jnp.take(flat, km, axis=0).reshape(idx.shape[2], b, n, c)
+    return jnp.max(g, axis=0)
+
+
 def edge_features(feats: jnp.ndarray, k: int) -> jnp.ndarray:
     """(neighbor - center, center) edge tensor: (B, N, k, 2C)."""
     idx = knn_indices(feats, k)

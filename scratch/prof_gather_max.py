@@ -81,27 +81,49 @@ def v3(a, idx):
     return jnp.max(g, axis=0)
 
 
+def _fetch(out):
+    # axon lesson: timings must end with a real element fetch
+    return float(np.asarray(out.ravel()[0]))
+
+
 def timed(name, fn, a, idx, ref=None):
+    """Dispatch the same program CHAIN times back-to-back (device executes
+    serially; dispatches are async) and fetch once — the prof_trunk_chain
+    pattern.  The earlier dependency-chain variant computed an EAGER
+    jnp.where on (B, N, K) between dispatches, which dominated the
+    measurement and inflated v0 ~5x vs its in-codec cost."""
     f = jax.jit(fn)
     out = f(a, idx)
-    out.block_until_ready()
     if ref is not None:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
-    t0 = time.perf_counter()
-    o = out
-    for _ in range(CHAIN):
-        o = f(a, jnp.where(o[0, 0, 0] < jnp.inf, idx, idx))  # chain dep
-    o.block_until_ready()
-    dt = (time.perf_counter() - t0) * 1000 / CHAIN
-    print(f"{name:24s} {dt:8.2f} ms/call", flush=True)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(CHAIN):
+            o = f(a, idx)
+        _fetch(o)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{name:24s} {best * 1000 / CHAIN:8.2f} ms/call", flush=True)
     return out
 
 
 def main():
     rng = np.random.default_rng(0)
+    # locality-matched indices: true-KNN sequence gaps at the bench slicing
+    # are p50 1946 / p95 7643 (prof_geo2.py) — random-uniform indices
+    # overstate the XLA gather cost ~4x, so draw neighbor offsets from a
+    # two-sided geometric-ish profile around each node instead
+    scale = float(os.environ.get("GM_SCALE", 2000.0))
+    offs = rng.laplace(0.0, scale, (B, N, K)).astype(np.int64)
+    base_i = np.arange(N)[None, :, None]
+    idx_np = np.clip(base_i + offs, 0, N - 1).astype(np.int32)
+    if os.environ.get("GM_RANDOM"):
+        idx_np = rng.integers(0, N, (B, N, K)).astype(np.int32)
     for F in (64, 128, 256):
         a = jnp.asarray(rng.standard_normal((B, N, F)), jnp.bfloat16)
-        idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+        idx = jnp.asarray(idx_np, jnp.int32)
         print(f"--- F={F}")
         ref = timed(f"v0 max(gather) F{F}", v0, a, idx)
         timed(f"v1 scan-k       F{F}", v1, a, idx, ref)

@@ -150,6 +150,9 @@ def test_every_inference_env_knob_is_stamped():
         # the lookup is bit-exact vs the gather, but swapping it changes
         # XLA fusion downstream (CDF rows measurably differ on chip)
         "SCP_NO_ONEHOT_EMBED": "onehotembed=",
+        # same reasoning: k-major gather+max is bit-exact per node but a
+        # different fusion environment for the ops around it
+        "SCP_NO_KMAJOR_MAX": "kmajormax=",
     }
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -324,3 +324,25 @@ def test_onehot_embed_matches_gather(rng, monkeypatch):
         )
         monkeypatch.delenv("SCP_NO_ONEHOT_EMBED")
         np.testing.assert_array_equal(onehot, oracle)
+
+
+def test_kmajor_max_matches_node_major(rng, monkeypatch):
+    """max_over_neighbors (k-major gather, reduce over the leading axis)
+    must be BIT-exact vs max(gather_neighbors(...), axis=2): each node
+    reduces the same value multiset and max has no rounding — in f32 and
+    bf16, including duplicate and self indices."""
+    from scp_tpu.ops.knn import gather_neighbors, max_over_neighbors
+
+    b, n, k = 3, 64, 7
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None, :])  # self + duplicates
+    for dtype in (jnp.float32, jnp.bfloat16):
+        feats = jnp.asarray(rng.standard_normal((b, n, 32)), dtype)
+        fast = np.asarray(max_over_neighbors(feats, idx), np.float32)
+        monkeypatch.setenv("SCP_NO_KMAJOR_MAX", "1")
+        oracle = np.asarray(max_over_neighbors(feats, idx), np.float32)
+        monkeypatch.delenv("SCP_NO_KMAJOR_MAX")
+        np.testing.assert_array_equal(fast, oracle)
+        np.testing.assert_array_equal(
+            oracle, np.asarray(jnp.max(gather_neighbors(feats, idx), axis=2), np.float32)
+        )
