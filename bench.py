@@ -209,11 +209,12 @@ def main():
     print(f"# warm dec pass: {time.time() - t0:.1f}s", file=sys.stderr)
     codec.timers.totals.clear(), codec.timers.counts.clear()
 
-    # three measured passes, best total kept: the TPU tunnel has ~10%
+    # several measured passes, best total kept: the TPU tunnel has ~10%
     # run-to-run variance and occasional multi-second hiccups; steady-state
-    # throughput is the quantity of record
+    # throughput is the quantity of record (each pass is ~2 s; the warmup
+    # dominates the process wall either way)
     best = None
-    for i in range(3):
+    for i in range(int(os.environ.get("BENCH_PASSES", "5"))):
         t0 = time.time()
         stream, bits, model_s = codec.encode_to_stream(slices)
         t_enc = time.time() - t0

@@ -331,7 +331,8 @@ class CodecSession:
             subtree_sizes=tuple(sub_sizes),
             coding_mode=(
                 self.codec.mode if self.is_ehem
-                else ("rans" if oct_rans else "full")
+                else ("rans" if oct_rans
+                      else ("incr" if incremental else "full"))
             ),
             backend=jax.default_backend(),
             coding_params=self.codec.coding_params() if self.is_ehem else "",
@@ -439,9 +440,12 @@ class CodecSession:
         # a torch .dat; round 2 needed a .manifest.npz).
         max_levels = header.subtree_levels
         grids = header.grids()
-        # an octattn "rans" stream IS the incremental device-coder format —
-        # the header pins the schedule, no flag needed
+        # the header pins the OctAttention schedule — "rans" (incremental
+        # device coder), "incr" (incremental host AC), "full" (chunked
+        # windows); the --incremental CLI flag is encode-side only and a
+        # mismatched decode flag can no longer desync the coder
         oct_rans = not self.is_ehem and header.coding_mode == "rans"
+        incremental = not self.is_ehem and header.coding_mode == "incr"
         if self.is_ehem:
             dec = self.codec.new_stream_decoder(payload, header.n_sym)
         elif oct_rans:

@@ -27,7 +27,8 @@ def get_args(argv=None):
     ap.add_argument("--sequential", action="store_true")
     ap.add_argument("--level_wise", action="store_true")
     ap.add_argument("--incremental", action="store_true",
-                    help="OctAttention KV-cache window schedule")
+                    help="(ignored: the stream header pins the OctAttention "
+                    "schedule; kept for CLI compatibility)")
     ap.add_argument("--mullevel", action="store_true")
     ap.add_argument("--no_check", action="store_true")
     ap.add_argument("--bin_dir", type=str, default=None,

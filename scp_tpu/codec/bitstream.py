@@ -70,7 +70,10 @@ class StreamHeader:
 
 
 _SYSTEMS = ["cart", "cylin", "spher"]
-_MODES = ["full", "staged", "rans"]
+# "incr" = OctAttention host-AC incremental schedule (position-major per
+# level); distinct from "full" (chunked windows) because the two stream
+# orders are incompatible — the header, not a CLI flag, pins the schedule.
+_MODES = ["full", "staged", "rans", "incr"]
 _HEAD_FMT = "<4sHQHBIdhdHHB12sB"
 
 

@@ -255,9 +255,14 @@ class OctAttentionCodec:
                 if elapsed_box is not None:
                     elapsed_box[0] += time.time() - t0
                 for c in active:
-                    syms_j[c] = int(
-                        occ_or_decoder.decode_batch_quantized(host[c : c + 1])[0]
-                    )
+                    got = occ_or_decoder.decode_batch_quantized(host[c : c + 1])
+                    if got.shape[0] == 0:
+                        raise ValueError(
+                            "bitstream exhausted mid-level: the stream was "
+                            "not encoded with the incremental schedule "
+                            "(header coding_mode pins the schedule)"
+                        )
+                    syms_j[c] = int(got[0])
                 rows_out.append(host[active])
             else:
                 # teacher forcing: no fetch needed inside the loop — the

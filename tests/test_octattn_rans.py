@@ -237,3 +237,108 @@ def test_octattn_rans_mullevel_shared_stream(rng):
     for occ, ml in subs:
         codes = codec.decode_incremental_rans(dec, ml, ground_truth=occ)
         np.testing.assert_array_equal(codes, occ)
+
+
+def _tiny_octattn_session(tmp_path, rng):
+    """Tiny OctAttention CodecSession + a 200-point lidar-like .ply."""
+    from scp_tpu.cli.codec_common import CodecSession
+    from scp_tpu.config import load_config, save_config
+    from scp_tpu.core.pointcloud import write_ply
+    from scp_tpu.models import build_model
+    from scp_tpu.train import checkpoints
+    from scp_tpu.train.trainer import TrainState
+
+    cfg = load_config("train_kitti.yaml", config_dir="configs")
+    cfg.model.context_size = 32
+    cfg.model.occ_embed_dim = 16
+    cfg.model.level_embed_dim = 4
+    cfg.model.octant_embed_dim = 4
+    cfg.model.abs_pos_embed_dim = 8
+    cfg.model.layer_num = 2
+    cfg.model.head_num = 2
+    cfg.model.hidden_dimension = 64
+    cfg.bf16 = False
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(cfg, run_dir)
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8, 4, 3), np.int32),
+        np.zeros((1, 8, 4, 3), np.float32),
+    )
+    state = TrainState(
+        params=variables["params"], batch_stats={}, opt_state={},
+        step=np.zeros(()),
+    )
+    ck = checkpoints.save(run_dir, state, {}, epoch=0, step=1, final=True)
+
+    from tests.test_roundtrip import lidar_like
+
+    ply = str(tmp_path / "scan.ply")
+    write_ply(ply, lidar_like(rng, n=200))
+    return CodecSession(ck, run_dir), ply
+
+
+def test_octattn_incr_header_routes_host_schedule(tmp_path, rng, monkeypatch):
+    """Host-AC incremental streams stamp coding_mode="incr" and decode_file
+    routes off the header — a decode-side flag mismatch cannot desync the
+    coder (round-4 regression: an "incr"-schedule decode of a "full" stream
+    crashed with an opaque IndexError)."""
+    monkeypatch.setenv("SCP_OCTATTN_CODER", "full")
+    from scp_tpu.codec.bitstream import unpack_stream
+
+    session, ply = _tiny_octattn_session(tmp_path, rng)
+    assert session.codec.mode == "full"
+
+    stats = session.encode_file(
+        ply, str(tmp_path / "out"), data_type="kitti", lidar_level=6,
+        system="spher", incremental=True,
+    )
+    with open(stats["outputfile"], "rb") as f:
+        header, _ = unpack_stream(f.read())
+    assert header.coding_mode == "incr"
+    # no flags at decode: the header picks the incremental host schedule
+    out_pts, _ = session.decode_file(stats["outputfile"])
+    assert out_pts.shape[0] > 0
+
+    # chunked-window stream stamps "full" and decodes through the window
+    # schedule even if the caller passes a stale --incremental flag
+    stats2 = session.encode_file(
+        ply, str(tmp_path / "out2"), data_type="kitti", lidar_level=6,
+        system="spher", incremental=False,
+    )
+    with open(stats2["outputfile"], "rb") as f:
+        header2, _ = unpack_stream(f.read())
+    assert header2.coding_mode == "full"
+    out2, _ = session.decode_file(stats2["outputfile"], incremental=True)
+    assert out2.shape[0] > 0
+
+
+def test_octattn_incremental_desync_guard(tmp_path, rng, monkeypatch):
+    """Decoding a stream with the WRONG schedule raises a diagnostic error,
+    not an IndexError deep in the AC wrapper."""
+    monkeypatch.setenv("SCP_OCTATTN_CODER", "full")
+    import pytest
+
+    from scp_tpu import ac
+    from scp_tpu.core.preprocess import preprocess_points
+    from tests.test_roundtrip import lidar_like
+
+    session, _ = _tiny_octattn_session(tmp_path, rng)
+    codec = session.codec
+    ctx = preprocess_points(
+        lidar_like(rng, n=200), system="spher", qs=60 / 63
+    ).context
+    # encode with the chunked-window schedule...
+    pdf, syms, _ = codec.encode(ctx)
+    enc = ac.StreamingEncoder()
+    enc.append(pdf, syms)
+    payload, _, n_sym = __import__(
+        "scp_tpu.codec.ehem_codec", fromlist=["EHEMCodec"]
+    ).EHEMCodec.finish_stream(enc)
+    _, _, ml = codec.split_levels(ctx)
+    # ...and decode with the incremental schedule: must fail loudly
+    dec = ac.ArithmeticDecoder(payload, n_sym)
+    with pytest.raises((ValueError, AssertionError)):
+        codec.decode_incremental(dec, ml)
