@@ -68,6 +68,16 @@ from scp_tpu.models.ehem import EHEM
 from scp_tpu.utils.profiling import StageTimers
 
 
+def _attn_block_stamp() -> int:
+    """Configured fused-attention window block (SCP_ATTN_BLOCK).  The
+    per-call effective block is derived deterministically from this knob
+    and the call shape (ops/pallas_swin._pick_block), so stamping the knob
+    pins the whole schedule on both sides."""
+    from scp_tpu.ops.pallas_swin import attn_block
+
+    return attn_block()
+
+
 def logits_to_cdf(logits):
     """Device-side softmax + 16-bit CDF quantization (full 255-way mode).
 
@@ -614,6 +624,11 @@ class EHEMCodec:
             f"msfuse={0 if os.environ.get('SCP_NO_MSFUSE') else 1};"
             f"fusedmlp={0 if os.environ.get('SCP_NO_FUSED_MLP') else 1};"
             f"fusedattn={0 if os.environ.get('SCP_NO_FUSED_ATTN') else 1};"
+            # windows per fused-attention grid step / fused-MLP token tile
+            # (row-identical math, but stamped so enc/dec agreement stays
+            # structural)
+            f"attnblock={_attn_block_stamp()};"
+            f"mlptile={int(os.environ.get('SCP_MLP_TILE', 512))};"
             f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
             f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
             f"pallas_knn={1 if os.environ.get('SCP_PALLAS_KNN') else 0};"

@@ -30,8 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 # token tile: multiples of the bf16 sublane tile; 512 keeps the f32
-# intermediate at 2 MB and the MXU n-dim large
+# intermediate at 2 MB and the MXU n-dim large.  SCP_MLP_TILE overrides
+# (chip A/B, scratch/prof_attn_block.py); the per-call tile degrades to
+# the largest divisor of the token count (see _pick_tile).
 _TILE = 512
+
+
+def _pick_tile(n_tokens: int) -> int:
+    import os
+
+    t = int(os.environ.get("SCP_MLP_TILE", _TILE))
+    while t > _TILE and n_tokens % t:
+        t //= 2
+    return max(t, _TILE)
 
 
 def _reference(x, scale, bias, w1, b1, w2, b2, eps, act):
@@ -112,7 +123,8 @@ def _fused_impl(x, scale, bias, w1, b1, w2, b2, eps, act, interpret=False):
 
     m, c = x.shape
     f = w1.shape[1]
-    grid = (m // _TILE,)
+    tile = _pick_tile(m)
+    grid = (m // tile,)
     row = lambda i: (i, 0)  # noqa: E731
     fixed = lambda i: (0, 0)  # noqa: E731
     vec = lambda n: pl.BlockSpec((1, n), fixed, memory_space=pltpu.VMEM)
@@ -120,7 +132,7 @@ def _fused_impl(x, scale, bias, w1, b1, w2, b2, eps, act, interpret=False):
         partial(_kernel, eps=eps, act=act),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), row, memory_space=pltpu.VMEM),
             vec(c),
             vec(c),
             pl.BlockSpec((c, f), fixed, memory_space=pltpu.VMEM),
@@ -128,7 +140,7 @@ def _fused_impl(x, scale, bias, w1, b1, w2, b2, eps, act, interpret=False):
             pl.BlockSpec((f, c), fixed, memory_space=pltpu.VMEM),
             vec(c),
         ],
-        out_specs=pl.BlockSpec((_TILE, c), row, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, c), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
         interpret=interpret,
     )(x, scale[None], bias[None], w1, b1[None], w2, b2[None])

@@ -62,7 +62,13 @@ def _heads_attend(q, k, v, rel_bias, mask, heads, scale, dtype):
 
 def _self_kernel(x_ref, sc_ref, bi_ref, wqkv_ref, bqkv_ref, bias_ref,
                  mask_ref, wp_ref, bp_ref, o_ref, *, heads, scale, eps):
-    x = x_ref[0]  # (W, C)
+    """Processes x_ref.shape[0] windows per grid step (unrolled): the LN +
+    QKV matmul batch over all windows in the block, attention stays
+    per-window.  Blocking amortizes the per-grid-step latency and feeds the
+    MXU a (BL*W, 3C) projection instead of (W, 3C) — the win measured on
+    chip lives in the small deep-stage calls (few windows, many steps)."""
+    bl, w, c = x_ref.shape
+    x = x_ref[...].reshape(bl * w, c)
     xf = x.astype(jnp.float32)
     h = _ln(xf, sc_ref[...].astype(jnp.float32), bi_ref[...].astype(jnp.float32), eps)
     h = h.astype(x.dtype)
@@ -70,25 +76,32 @@ def _self_kernel(x_ref, sc_ref, bi_ref, wqkv_ref, bqkv_ref, bias_ref,
         jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32)
         + bqkv_ref[...].astype(jnp.float32)
     ).astype(x.dtype)
-    c = x.shape[-1]
-    q, k, v = qkv[:, :c], qkv[:, c : 2 * c], qkv[:, 2 * c :]
-    att = _heads_attend(
-        q, k, v, bias_ref[...], mask_ref[0], heads, scale, x.dtype
-    ).astype(x.dtype)
+    n_masks = mask_ref.shape[0]
+    ys = []
+    for j in range(bl):
+        rows = slice(j * w, (j + 1) * w)
+        q, k, v = qkv[rows, :c], qkv[rows, c : 2 * c], qkv[rows, 2 * c :]
+        ys.append(_heads_attend(
+            q, k, v, bias_ref[...], mask_ref[j % n_masks], heads, scale,
+            x.dtype,
+        ).astype(x.dtype))
+    att = ys[0] if bl == 1 else jnp.concatenate(ys, axis=0)
     y = (
         jnp.dot(att, wp_ref[...], preferred_element_type=jnp.float32)
         + bp_ref[...].astype(jnp.float32)
     )
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    o_ref[...] = (xf + y).astype(o_ref.dtype).reshape(bl, w, c)
 
 
 def _cross_kernel(x_ref, q_in_ref, sc_ref, bi_ref, wq_ref, bq_ref, wkv_ref,
                   bkv_ref, bias_ref, mask_ref, wp_ref, bp_ref, o_ref,
                   *, heads, scale, eps):
     """Cross mode: Q from the query stream, K|V from the key stream; the
-    residual is the KEY stream (WindowAttention1D cross contract)."""
-    x = x_ref[0]
-    qs = q_in_ref[0]
+    residual is the KEY stream (WindowAttention1D cross contract).
+    Multi-window blocking as in _self_kernel."""
+    bl, w, c = x_ref.shape
+    x = x_ref[...].reshape(bl * w, c)
+    qs = q_in_ref[...].reshape(bl * w, c)
     scl = sc_ref[...].astype(jnp.float32)
     bia = bi_ref[...].astype(jnp.float32)
     xf = x.astype(jnp.float32)
@@ -102,16 +115,21 @@ def _cross_kernel(x_ref, q_in_ref, sc_ref, bi_ref, wq_ref, bq_ref, wkv_ref,
         jnp.dot(hx, wkv_ref[...], preferred_element_type=jnp.float32)
         + bkv_ref[...].astype(jnp.float32)
     ).astype(x.dtype)
-    c = x.shape[-1]
-    k, v = kv[:, :c], kv[:, c:]
-    att = _heads_attend(
-        q, k, v, bias_ref[...], mask_ref[0], heads, scale, x.dtype
-    ).astype(x.dtype)
+    n_masks = mask_ref.shape[0]
+    ys = []
+    for j in range(bl):
+        rows = slice(j * w, (j + 1) * w)
+        k, v = kv[rows, :c], kv[rows, c:]
+        ys.append(_heads_attend(
+            q[rows], k, v, bias_ref[...], mask_ref[j % n_masks], heads,
+            scale, x.dtype,
+        ).astype(x.dtype))
+    att = ys[0] if bl == 1 else jnp.concatenate(ys, axis=0)
     y = (
         jnp.dot(att, wp_ref[...], preferred_element_type=jnp.float32)
         + bp_ref[...].astype(jnp.float32)
     )
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    o_ref[...] = (xf + y).astype(o_ref.dtype).reshape(bl, w, c)
 
 
 def supported(n: int, w: int, c: int, heads: int) -> bool:
@@ -124,6 +142,48 @@ def supported(n: int, w: int, c: int, heads: int) -> bool:
         and w % 128 == 0
         and c % 128 == 0
         and (c // heads) % 8 == 0
+    )
+
+
+def attn_block() -> int:
+    """Windows per grid step (SCP_ATTN_BLOCK).  Blocking amortizes the
+    per-grid-step latency and feeds the MXU a (BL*W, 3C) QKV projection;
+    output is row-identical to block 1 (per-window attention,
+    row-independent matmuls).  Default set by the chip A/B in
+    scratch/prof_attn_block.py; the codec stamps the knob so enc/dec
+    agreement stays structural."""
+    import os
+
+    return max(1, int(os.environ.get("SCP_ATTN_BLOCK", "1")))
+
+
+def _pick_block(bn: int, n_masks: int) -> int:
+    """Largest block <= attn_block() that divides the window count and
+    aligns with the mask period (see _mask_spec)."""
+    bl = attn_block()
+    while bl > 1 and not (
+        bn % bl == 0 and (n_masks % bl == 0 or bl % n_masks == 0)
+    ):
+        bl -= 1
+    return bl
+
+
+def _mask_spec(pl, pltpu, n_masks: int, bl: int, w: int):
+    """BlockSpec delivering the right masks for windows [i*bl, (i+1)*bl).
+
+    Masks repeat with period n_masks over the global window index.  If
+    bl % n_masks == 0 the j-th window in ANY block uses mask j % n_masks —
+    fetch the whole table once (kernel indexes j % n_masks).  Else
+    n_masks % bl == 0 and block i's windows use the contiguous mask run
+    starting at (i*bl) % n_masks (kernel indexes j)."""
+    if bl % n_masks == 0:
+        return pl.BlockSpec(
+            (n_masks, w, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(
+        (bl, w, w),
+        lambda i: (i % (n_masks // bl), 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -212,24 +272,25 @@ def _self_impl(x, scale, bias, wqkv, bqkv, rel_bias, mask, wp, bp, heads,
     bn, w, c = x.shape
     hd = c // heads
     n_masks = mask.shape[0]
+    bl = _pick_block(bn, n_masks)
     row = lambda i: (i, 0, 0)  # noqa: E731
     fixed2 = lambda i: (0, 0)  # noqa: E731
     vec = lambda nn_: pl.BlockSpec((1, nn_), fixed2, memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(
         partial(_self_kernel, heads=heads, scale=1.0 / float(np.sqrt(hd)), eps=eps),
-        grid=(bn,),
+        grid=(bn // bl,),
         in_specs=[
-            pl.BlockSpec((1, w, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, w, c), row, memory_space=pltpu.VMEM),
             vec(c),
             vec(c),
             pl.BlockSpec((c, 3 * c), fixed2, memory_space=pltpu.VMEM),
             vec(3 * c),
             pl.BlockSpec((heads, w, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, w), lambda i: (i % n_masks, 0, 0), memory_space=pltpu.VMEM),
+            _mask_spec(pl, pltpu, n_masks, bl, w),
             pl.BlockSpec((c, c), fixed2, memory_space=pltpu.VMEM),
             vec(c),
         ],
-        out_specs=pl.BlockSpec((1, w, c), row, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bl, w, c), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, scale[None], bias[None], wqkv, bqkv[None], rel_bias, mask, wp, bp[None])
@@ -243,15 +304,16 @@ def _cross_impl(x, qs, scale, bias, wq, bq, wkv, bkv, rel_bias, mask, wp, bp,
     bn, w, c = x.shape
     hd = c // heads
     n_masks = mask.shape[0]
+    bl = _pick_block(bn, n_masks)
     row = lambda i: (i, 0, 0)  # noqa: E731
     fixed2 = lambda i: (0, 0)  # noqa: E731
     vec = lambda nn_: pl.BlockSpec((1, nn_), fixed2, memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(
         partial(_cross_kernel, heads=heads, scale=1.0 / float(np.sqrt(hd)), eps=eps),
-        grid=(bn,),
+        grid=(bn // bl,),
         in_specs=[
-            pl.BlockSpec((1, w, c), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, w, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, w, c), row, memory_space=pltpu.VMEM),
             vec(c),
             vec(c),
             pl.BlockSpec((c, c), fixed2, memory_space=pltpu.VMEM),
@@ -259,11 +321,11 @@ def _cross_impl(x, qs, scale, bias, wq, bq, wkv, bkv, rel_bias, mask, wp, bp,
             pl.BlockSpec((c, 2 * c), fixed2, memory_space=pltpu.VMEM),
             vec(2 * c),
             pl.BlockSpec((heads, w, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, w), lambda i: (i % n_masks, 0, 0), memory_space=pltpu.VMEM),
+            _mask_spec(pl, pltpu, n_masks, bl, w),
             pl.BlockSpec((c, c), fixed2, memory_space=pltpu.VMEM),
             vec(c),
         ],
-        out_specs=pl.BlockSpec((1, w, c), row, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bl, w, c), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, qs, scale[None], bias[None], wq, bq[None], wkv, bkv[None], rel_bias,

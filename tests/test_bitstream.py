@@ -153,6 +153,10 @@ def test_every_inference_env_knob_is_stamped():
         # same reasoning: k-major gather+max is bit-exact per node but a
         # different fusion environment for the ops around it
         "SCP_NO_KMAJOR_MAX": "kmajormax=",
+        # fused-kernel schedule knobs: row-identical math, stamped anyway
+        # so enc/dec agreement stays structural
+        "SCP_ATTN_BLOCK": "attnblock=",
+        "SCP_MLP_TILE": "mlptile=",
     }
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -109,3 +109,74 @@ def test_reference_matches_swin_block(rng):
 
 def test_supported_gate():
     assert not pallas_swin.supported(512, 512, 256, 4)  # cpu backend
+
+
+@pytest.mark.parametrize(
+    "block,bn,n_masks",
+    [
+        (2, 4, 2),  # block % n_masks == 0 -> whole-table fetch
+        (4, 8, 2),  # same, multiple mask cycles per block
+        (2, 8, 4),  # block < n_masks, n_masks % block == 0 -> run fetch
+        (4, 6, 2),  # 4 doesn't divide 6 -> degrades to 2
+        (4, 3, 1),  # 4 doesn't divide 3 -> degrades to block 3
+    ],
+)
+def test_self_blocked_matches_reference(rng, monkeypatch, block, bn, n_masks):
+    """Multi-window blocking must be a pure schedule change: outputs equal
+    the reference for every (block, window count, mask period) layout."""
+    monkeypatch.setenv("SCP_ATTN_BLOCK", str(block))
+    w, c, h = 128, 128, 4
+    x, scale, bias, rel, mask, wp, bp = _mk(rng, bn, w, c, h, n_masks=n_masks)
+    wqkv = jnp.asarray(rng.normal(0, 0.05, (c, 3 * c)), jnp.bfloat16)
+    bqkv = jnp.asarray(rng.normal(0, 0.05, 3 * c), jnp.float32)
+    want = pallas_swin._reference_self(
+        x, scale, bias, wqkv, bqkv, rel, mask, wp, bp, h, 1e-5
+    )
+    got = pallas_swin._self_impl(
+        x, scale, bias, wqkv, bqkv, rel, mask, wp, bp, h, 1e-5, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+@pytest.mark.parametrize("block,bn,n_masks", [(2, 4, 2), (2, 8, 4)])
+def test_cross_blocked_matches_reference(rng, monkeypatch, block, bn, n_masks):
+    monkeypatch.setenv("SCP_ATTN_BLOCK", str(block))
+    w, c, h = 128, 128, 4
+    x, scale, bias, rel, mask, wp, bp = _mk(rng, bn, w, c, h, n_masks=n_masks)
+    qs = jnp.asarray(rng.normal(0, 1, (bn, w, c)), jnp.bfloat16)
+    wq = jnp.asarray(rng.normal(0, 0.05, (c, c)), jnp.bfloat16)
+    bq = jnp.asarray(rng.normal(0, 0.05, c), jnp.float32)
+    wkv = jnp.asarray(rng.normal(0, 0.05, (c, 2 * c)), jnp.bfloat16)
+    bkv = jnp.asarray(rng.normal(0, 0.05, 2 * c), jnp.float32)
+    want = pallas_swin._reference_cross(
+        x, qs, scale, bias, wq, bq, wkv, bkv, rel, mask, wp, bp, h, 1e-5
+    )
+    got = pallas_swin._cross_impl(
+        x, qs, scale, bias, wq, bq, wkv, bkv, rel, mask, wp, bp, h, 1e-5,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_pick_block_degrades(monkeypatch):
+    monkeypatch.setenv("SCP_ATTN_BLOCK", "4")
+    assert pallas_swin._pick_block(256, 1) == 4
+    assert pallas_swin._pick_block(6, 2) == 2  # 4 doesn't divide 6
+    assert pallas_swin._pick_block(3, 1) == 3  # any divisor works unmasked
+    assert pallas_swin._pick_block(5, 2) == 1  # nothing aligns
+    assert pallas_swin._pick_block(8, 4) == 4  # mask-period aligned
+
+
+def test_mlp_tile_pick(monkeypatch):
+    from scp_tpu.ops import pallas_mlp
+
+    assert pallas_mlp._pick_tile(8192) == 512  # default
+    monkeypatch.setenv("SCP_MLP_TILE", "2048")
+    assert pallas_mlp._pick_tile(8192) == 2048
+    assert pallas_mlp._pick_tile(512 * 3) == 512  # 2048/1024 don't divide
