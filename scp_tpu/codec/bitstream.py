@@ -20,7 +20,11 @@ import struct
 import numpy as np
 
 _MAGIC = b"SCPT"
-_VERSION = 5
+# v6: coding_mode "incr" routing — OctAttention streams written with the
+# host-incremental schedule before the header pin were stamped "full" and
+# would silently desync under --no_check; the bump makes stale bins fail
+# loudly at unpack instead.
+_VERSION = 6
 
 
 @dataclasses.dataclass
@@ -91,7 +95,14 @@ def pack_stream(header: StreamHeader, payload: bytes) -> bytes:
     off = np.asarray(header.grid_offset, np.float64).reshape(n_sub, 3)
     bn = np.asarray(header.grid_bin_num, np.int64).reshape(n_sub)
     backend = header.backend.encode()[:12].ljust(12, b"\0")
-    params = header.coding_params.encode()[:255]
+    params = header.coding_params.encode()
+    if len(params) > 255:
+        # One length byte in _HEAD_FMT: silent truncation here would make
+        # every decode fail the params-mismatch check later.  Overflow must
+        # be an encode-time error.
+        raise ValueError(
+            f"coding_params stamp is {len(params)} bytes (max 255): {params!r}"
+        )
     head = struct.pack(
         _HEAD_FMT,
         _MAGIC,

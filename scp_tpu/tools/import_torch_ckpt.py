@@ -272,11 +272,26 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="output .npz")
     ap.add_argument("--no_verify", action="store_true",
                     help="skip the structure check (non-default model dims)")
+    ap.add_argument("--trust_pickle", action="store_true",
+                    help="allow full (unsafe) unpickling for checkpoints that "
+                    "weights_only=True cannot load.  Published checkpoints are "
+                    "untrusted public content: full unpickling executes "
+                    "arbitrary code from the file — only pass this for "
+                    "checkpoints you produced yourself.")
     args = ap.parse_args(argv)
 
     import torch
 
-    blob = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(args.ckpt, map_location="cpu", weights_only=True)
+    except Exception as e:  # Lightning metadata outside the safe allowlist
+        if not args.trust_pickle:
+            raise SystemExit(
+                f"weights_only=True load failed ({type(e).__name__}: {e}).\n"
+                "Re-run with --trust_pickle ONLY if you trust this file: "
+                "full unpickling executes arbitrary code from the checkpoint."
+            )
+        blob = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     variables = import_state_dict(sd, args.model)

@@ -60,16 +60,22 @@ class ShardDataset:
         assert 0 <= process_index < process_count, (process_index, process_count)
         self.process_index = int(process_index)
         self.process_count = int(process_count)
-        self.total_nodes = 0
+        self.file_rows = []
         for f in self.files:
             try:
-                self.total_nodes += int(f.rsplit("_", 1)[-1].split(".")[0])
+                self.file_rows.append(int(f.rsplit("_", 1)[-1].split(".")[0]))
             except ValueError:
-                self.total_nodes += np.load(f, mmap_mode="r").shape[0]
+                self.file_rows.append(np.load(f, mmap_mode="r").shape[0])
+        self.total_nodes = sum(self.file_rows)
 
     def steps_per_epoch(self) -> int:
+        """Derived from the WINDOW count (sum of floor(rows_i/csz)), not the
+        raw row count: shard tails don't form windows, and an epoch must
+        never wrap the permutation — each window is drawn at most once per
+        epoch (the exactly-once property `batches` documents)."""
         global_bs = self.batch_size * self.process_count
-        return max(self.total_nodes // (self.context_size * global_bs), 1)
+        n_win = sum(r // self.context_size for r in self.file_rows)
+        return max(n_win // global_bs, 1)
 
     def _window(self, shards, fi: int, w: int, max_levels: dict):
         """One (data(N,4,3) int32, pos float32, label int32) window."""

@@ -89,6 +89,61 @@ def test_octattention_import_and_logit_parity(rng):
     assert abs(ours - ref_b) / ref_b < 1e-3
 
 
+def test_ckpt_file_roundtrip_cli(rng, tmp_path):
+    """Regression-lock the CLI path end-to-end (VERDICT r4 #8): torch.save a
+    Lightning-style checkpoint dict -> import_torch_ckpt.main() (exercising
+    the weights_only=True safe load) -> .npz -> load -> bitwise identity
+    with the in-process import_state_dict mapping, and logit identity on
+    the reconstructed model.  Reference loader being locked:
+    models/ehem.py:212-222 (load_pretrain semantics)."""
+    import torch
+
+    import jax
+
+    from scp_tpu.models.octattention import OctAttention
+    from scp_tpu.tools.import_torch_ckpt import import_state_dict, main
+    from scp_tpu.tools.ref_baseline import _import_reference
+    from scp_tpu.train.checkpoints import load_params_npz
+
+    _import_reference()
+    from models.oct_attention import OctAttention as RefOA
+
+    torch.manual_seed(1)
+    ref = RefOA(_tiny_oa_cfg()).eval()
+    ckpt = tmp_path / "ref.ckpt"
+    # Lightning checkpoints wrap the weights: {"state_dict": ..., meta...}
+    torch.save({"state_dict": ref.state_dict(), "epoch": 3}, ckpt)
+    out = tmp_path / "imported.npz"
+    main(["--ckpt", str(ckpt), "--out", str(out), "--model", "octattention",
+          "--no_verify"])
+
+    got = load_params_npz(str(out))
+    want = import_state_dict(_sd_numpy(ref), model="octattention")
+    g_leaves = jax.tree_util.tree_leaves_with_path(got)
+    w_leaves = jax.tree_util.tree_leaves_with_path(want)
+    assert len(g_leaves) == len(w_leaves)
+    w_map = {jax.tree_util.keystr(k): v for k, v in w_leaves}
+    for k, v in g_leaves:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(w_map[jax.tree_util.keystr(k)]))
+
+    kw = dict(
+        occ_embed_dim=16, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=8, num_layers=2, num_heads=2, hidden_dim=64,
+        context_size=64,
+    )
+    b, n, k = 1, 32, 4
+    data = np.stack(
+        [rng.integers(0, 256, (b, n, k)), rng.integers(1, 13, (b, n, k)),
+         rng.integers(0, 9, (b, n, k))], axis=-1,
+    ).astype(np.int32)
+    pos = rng.random((b, n, k, 3)).astype(np.float32)
+    model = OctAttention(**kw)
+    a = np.asarray(model.apply(got, data, pos))
+    c = np.asarray(model.apply(want, data, pos))
+    np.testing.assert_array_equal(a, c)
+
+
 # ---- EHEM (reference dims are hardcoded full-size -> slow) -------------------
 
 
