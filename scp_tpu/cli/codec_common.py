@@ -335,7 +335,13 @@ class CodecSession:
                       else ("incr" if incremental else "full"))
             ),
             backend=jax.default_backend(),
-            coding_params=self.codec.coding_params() if self.is_ehem else "",
+            coding_params=(
+                self.codec.coding_params() if self.is_ehem
+                else self.codec.coding_params(
+                    "rans" if oct_rans
+                    else ("incr" if incremental else "full")
+                )
+            ),
             subtree_levels=tuple(max_levels),
             level_sizes=np.concatenate(lvl_sizes),
             grid_qs=np.stack(
@@ -420,17 +426,20 @@ class CodecSession:
                 self.cfg.model.context_size,
                 mode=header.coding_mode,
             )
+        want_params = (
+            self.codec.coding_params() if self.is_ehem
+            else self.codec.coding_params(header.coding_mode)
+        )
         if (
-            self.is_ehem
-            and header.coding_params
-            and header.coding_params != self.codec.coding_params()
+            header.coding_params
+            and header.coding_params != want_params
             and not os.environ.get("SCP_ALLOW_CROSS_BACKEND")
         ):
             # same contract as the backend stamp: these knobs change the
             # compiled phase programs' float math -> CDFs -> coder sync
             raise RuntimeError(
                 f"bitstream coded with {header.coding_params!r} but this "
-                f"session runs {self.codec.coding_params()!r}; set the "
+                f"session runs {want_params!r}; set the "
                 "matching SCP_* env (or SCP_ALLOW_CROSS_BACKEND=1 to try "
                 "anyway)"
             )

@@ -68,16 +68,6 @@ from scp_tpu.models.ehem import EHEM
 from scp_tpu.utils.profiling import StageTimers
 
 
-def _attn_block_stamp() -> int:
-    """Configured fused-attention window block (SCP_ATTN_BLOCK).  The
-    per-call effective block is derived deterministically from this knob
-    and the call shape (ops/pallas_swin._pick_block), so stamping the knob
-    pins the whole schedule on both sides."""
-    from scp_tpu.ops.pallas_swin import attn_block
-
-    return attn_block()
-
-
 def logits_to_cdf(logits):
     """Device-side softmax + 16-bit CDF quantization (full 255-way mode).
 
@@ -624,11 +614,13 @@ class EHEMCodec:
             f"msfuse={0 if os.environ.get('SCP_NO_MSFUSE') else 1};"
             f"fusedmlp={0 if os.environ.get('SCP_NO_FUSED_MLP') else 1};"
             f"fusedattn={0 if os.environ.get('SCP_NO_FUSED_ATTN') else 1};"
-            # windows per fused-attention grid step / fused-MLP token tile
-            # (row-identical math, but stamped so enc/dec agreement stays
-            # structural)
-            f"attnblock={_attn_block_stamp()};"
-            f"mlptile={int(os.environ.get('SCP_MLP_TILE', 512))};"
+            # SCP_ATTN_BLOCK / SCP_MLP_TILE are deliberately NOT stamped:
+            # both only re-tile the Pallas grid (row-identical math — the
+            # contraction order inside each row is unchanged), and their
+            # effective values are per-shape (clamped/divisor-degraded in
+            # _pick_tile/_pick_block), so stamping the raw env value caused
+            # spurious decode refusals between numerically identical
+            # settings (e.g. SCP_MLP_TILE=256 clamps to 512).
             f"bnfold={0 if os.environ.get('SCP_NO_BNFOLD') else 1};"
             f"knn_f32={1 if os.environ.get('SCP_KNN_F32') else 0};"
             f"pallas_knn={1 if os.environ.get('SCP_PALLAS_KNN') else 0};"

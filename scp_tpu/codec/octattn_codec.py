@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import jax
 import numpy as np
@@ -104,6 +105,125 @@ class OctAttentionCodec:
             return buf.at[j].set(rans.gather_start_freq(rows, syms))
 
         self._sf_put_fn = jax.jit(sf_put, donate_argnums=(0,))
+
+        # ---- fused level schedule (rans mode; default) -------------------
+        #
+        # The per-position loop above costs 3-4 tunnel RPCs per node
+        # POSITION (~10 ms each on a remote-TPU link -> 129 s for a
+        # 203k-node L12 scan, BUILDLOG round 4).  Here the WHOLE position
+        # loop — context-row gather, model step, CDF quantization, rANS
+        # decode, cache insert — is one lax.scan program dispatched ONCE
+        # per level.  Both sides run the SAME compiled program: the
+        # encoder passes a fixed-size dummy stream + is_decode=False and
+        # the symbol source is a traced where(), so every input shape is
+        # identical and CDF agreement stays structural (the contract the
+        # per-position path establishes with its shared step program).
+        # Reference contrast: one full 1024-window forward per node,
+        # reference decode.py:73-107.
+        from scp_tpu.codec import octattn_rans as orans
+
+        self.fused = (
+            self.mode == "rans"
+            and os.environ.get("SCP_OCTATTN_FUSED", "1") != "0"
+        )
+
+        def fused_level(v, data_u8, pos_i32, inv_scale, n, states, ptr,
+                        stream, true_syms, is_decode, csz):
+            nsteps, lanes = true_syms.shape
+            kk = data_u8.shape[1]
+            lane = jnp.arange(lanes, dtype=jnp.int32)
+            pad_d = jnp.zeros((kk, 3), jnp.int32).at[:, 0].set(_PAD_OCC)
+            w, dm = csz, model.embed_dim
+            nl = model.num_layers
+            cache0 = {
+                "k": jnp.zeros((lanes, nl, w, dm), jnp.dtype(model.dtype)),
+                "v": jnp.zeros((lanes, nl, w, dm), jnp.dtype(model.dtype)),
+            }
+
+            def body(carry, xs):
+                cache, states, ptr = carry
+                j, ts_j = xs
+                idx = j + lane * csz
+                valid = idx < n
+                safe = jnp.clip(idx, 0, data_u8.shape[0] - 1)
+                d_j = jnp.where(
+                    valid[:, None, None], data_u8[safe].astype(jnp.int32),
+                    pad_d,
+                )
+                p_j = jnp.where(
+                    valid[:, None, None],
+                    pos_i32[safe].astype(jnp.float32) * inv_scale,
+                    jnp.float32(0.0),
+                )
+                logits, qs = jax.vmap(
+                    lambda dd, pp, cc: model.apply(
+                        v, dd, pp, cc, j, method=OctAttention.decode_step
+                    ),
+                    in_axes=(0, 0, 0),
+                )(d_j, p_j, cache)
+                rows = logits_to_cdf(logits)
+                # active_count(n, csz, j), in-program
+                n_act = jnp.where(
+                    j < jnp.minimum(n, csz),
+                    jnp.maximum((n - j + csz - 1) // csz, 0),
+                    0,
+                )
+                syms_dec, states, ptr = orans.decode_step_core(
+                    states, ptr, stream, rows, n_act
+                )
+                sym = jnp.where(is_decode, syms_dec[:lanes], ts_j)
+                sf = rans.gather_start_freq(rows, sym)
+                occ = jnp.where(lane < n_act, sym, _PAD_OCC)
+                d_known = d_j.at[:, -1, 0].set(occ)
+                cache = jax.vmap(
+                    lambda dd, pp, cc, qq: model.apply(
+                        v, dd, pp, cc, j, qq,
+                        method=OctAttention.decode_insert,
+                    ),
+                    in_axes=(0, 0, 0, 0),
+                )(d_known, p_j, cache, qs)
+                return (cache, states, ptr), (sym, sf)
+
+            js = jnp.arange(nsteps, dtype=jnp.int32)
+            (_, states, ptr), (syms, sfs) = jax.lax.scan(
+                body, (cache0, states, ptr), (js, true_syms)
+            )
+            return syms, sfs, states, ptr
+
+        self._fused_fn = partial(jax.jit, static_argnums=(10,))(fused_level)
+        self._dummy_stream_buf = None
+
+    def _dummy_stream(self):
+        """Encode-side stand-in for the decode stream buffer — same fixed
+        shape so encoder and decoder hit the same compiled program."""
+        import jax.numpy as jnp
+
+        from scp_tpu.codec import octattn_rans as orans
+
+        if self._dummy_stream_buf is None:
+            self._dummy_stream_buf = jnp.zeros(
+                (orans.stream_cap(),), jnp.uint8
+            )
+        return self._dummy_stream_buf
+
+    def coding_params(self, schedule: str = "rans") -> str:
+        """Stamp of the knobs that change this codec's compiled CDF
+        programs (same decode-refusal contract as EHEMCodec.coding_params).
+        The fused-schedule fields only exist for "rans" streams — the
+        host-coder schedules ("full"/"incr") share programs that don't
+        read them."""
+        import jax.numpy as jnp
+
+        from scp_tpu.codec import octattn_rans as orans
+
+        base = f"dtype={jnp.dtype(self.model.dtype).name}"
+        if schedule != "rans":
+            return base
+        return (
+            base
+            + f";octsched={'fused' if self.fused else 'steps'}"
+            + (f";cap={orans.stream_cap()}" if self.fused else "")
+        )
 
     def _fwd(self, d, p):
         return self._fwd_fn(self.variables, d, p)
@@ -373,6 +493,60 @@ class OctAttentionCodec:
                 p_j[c] = pos[i]
         return d_j, p_j
 
+    def _fused_level_bufs(self, data, pos_int, lanes):
+        """Host pad to the fused program's (lanes*csz, K, 3) buffers.
+        data int (occ/level/octant all <= 255) -> u8; pos grid ints -> i32
+        (the program normalizes in-program: i32 -> f32 * inv_scale, equal
+        bit-for-bit to the host division split_levels performs)."""
+        n, k = data.shape[0], data.shape[1]
+        cap = lanes * self.csz
+        d = np.zeros((cap, k, 3), np.uint8)
+        d[:, :, 0] = _PAD_OCC
+        d[:n] = data.astype(np.uint8)
+        p = np.zeros((cap, k, 3), np.int32)
+        p[:n] = pos_int.astype(np.int32)
+        return d, p
+
+    def _fused_true_syms(self, occ, n, lanes, nsteps):
+        """(nsteps, lanes) position-major teacher symbols; inactive 0."""
+        buf = np.zeros(lanes * self.csz, np.int32)
+        buf[:n] = occ
+        ts = np.zeros((nsteps, lanes), np.int32)
+        mm = min(self.csz, n)
+        ts[:mm] = buf.reshape(lanes, self.csz).T[:mm]
+        return ts
+
+    def _encode_incremental_fused(self, enc, ctx: np.ndarray) -> float:
+        """Fused-schedule encode: ONE program dispatch per level (plus the
+        payload assembly in enc.finish())."""
+        import jax.numpy as jnp
+
+        ctx = np.asarray(ctx)
+        levels, occ_stream, max_level = self.split_levels(ctx)
+        node_level = ctx[:, -1, 1].astype(np.int32)
+        pos_int_all = ctx[:, :, 3:6].astype(np.int32)
+        inv_scale = np.float32(1.0 / float(2**max_level))
+        dummy_states = jnp.zeros((enc.k,), jnp.uint32)
+        dummy_stream = self._dummy_stream()
+        t0 = time.time()
+        off = 0
+        for li, (data, _pos) in enumerate(levels):
+            n = data.shape[0]
+            occ = occ_stream[off : off + n]
+            off += n
+            pos_int = pos_int_all[node_level == li + 1]
+            lanes = self._lane_count(-(-n // self.csz))
+            nsteps = self._steps_bucket(min(self.csz, n))
+            d_pad, p_pad = self._fused_level_bufs(data, pos_int, lanes)
+            ts = self._fused_true_syms(occ, n, lanes, nsteps)
+            _syms, sf, _st, _pt = self._fused_fn(
+                self.variables, d_pad, p_pad, inv_scale, np.int32(n),
+                dummy_states, jnp.int32(0), dummy_stream,
+                jnp.asarray(ts), jnp.bool_(False), self.csz,
+            )
+            enc.append_level(sf, n, self.csz)
+        return time.time() - t0
+
     def encode_incremental_into(self, enc, ctx: np.ndarray) -> float:
         """Teacher-forced incremental encode into an open OctRansEncoder
         (device coder; multi-subtree drivers feed several clouds through
@@ -380,6 +554,9 @@ class OctAttentionCodec:
         Returns elapsed dispatch seconds; nothing is fetched here (the
         payload materializes in enc.finish())."""
         import jax.numpy as jnp
+
+        if self.fused:
+            return self._encode_incremental_fused(enc, ctx)
 
         levels, occ_stream, _ = self.split_levels(ctx)
         t0 = time.time()
@@ -435,17 +612,30 @@ class OctAttentionCodec:
             lanes = self._lane_count(n_chunks)
             assert lanes <= dec.k, (lanes, dec.k)
             max_m = min(self.csz, n)
-            cache = self._init_cache_b(lanes)
-            syms_buf = jnp.zeros((self._steps_bucket(max_m), lanes), jnp.int32)
-            for j in range(max_m):
-                d_j, p_j = self._lane_rows(data, pos, j, lanes, n)
-                n_act = active_count(n, self.csz, j)
-                cdf_rows, qs = self._step_fn_b(self.variables, d_j, p_j, cache, j)
-                syms = dec.step(cdf_rows, n_act)  # (K,) i32, device
-                cache = self._insert_sym_fn(
-                    self.variables, d_j, p_j, cache, j, qs, syms, n_act
+            nsteps = self._steps_bucket(max_m)
+            if self.fused:
+                # one dispatch for the whole level (same program as encode)
+                d_pad, p_pad = self._fused_level_bufs(data, pos_int, lanes)
+                ts = jnp.zeros((nsteps, lanes), jnp.int32)
+                syms_buf, _sf, dec.states, dec.ptr = self._fused_fn(
+                    self.variables, d_pad, p_pad, np.float32(inv_scale),
+                    np.int32(n), dec.states, dec.ptr, dec.stream, ts,
+                    jnp.bool_(True), self.csz,
                 )
-                syms_buf = self._buf_put_fn(syms_buf, syms, j)
+            else:
+                cache = self._init_cache_b(lanes)
+                syms_buf = jnp.zeros((nsteps, lanes), jnp.int32)
+                for j in range(max_m):
+                    d_j, p_j = self._lane_rows(data, pos, j, lanes, n)
+                    n_act = active_count(n, self.csz, j)
+                    cdf_rows, qs = self._step_fn_b(
+                        self.variables, d_j, p_j, cache, j
+                    )
+                    syms = dec.step(cdf_rows, n_act)  # (K,) i32, device
+                    cache = self._insert_sym_fn(
+                        self.variables, d_j, p_j, cache, j, qs, syms, n_act
+                    )
+                    syms_buf = self._buf_put_fn(syms_buf, syms, j)
             host = np.asarray(syms_buf)  # the level's ONE fetch
             level_occ = np.empty(n, np.int32)
             for j in range(max_m):

@@ -36,6 +36,7 @@ incremental consistency contract).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -43,6 +44,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from scp_tpu.codec import rans
+
+
+def stream_cap() -> int:
+    """Fixed device stream-buffer size for the FUSED level schedule.
+
+    The fused level program embeds the rANS decode (octattn_codec.
+    _fused_level), so the stream buffer's SHAPE is part of the compiled
+    program — and the encoder must run the *same* program (with a dummy
+    buffer) for its CDF rows to agree structurally with decode.  A fixed
+    cap keeps the shape identical on both sides regardless of payload
+    size.  2 MiB covers ~6M octree nodes at the measured ~2.8 bits/node;
+    raise SCP_OCTRANS_CAP (identically on encoder AND decoder — the value
+    is stamped in coding_params) for larger clouds."""
+    return int(os.environ.get("SCP_OCTRANS_CAP", 1 << 21))
 
 
 def lane_bucket(n_chunks: int) -> int:
@@ -61,9 +76,10 @@ def active_count(n: int, csz: int, j: int) -> int:
     return -(-(n - j) // csz)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _decode_step(states, ptr, stream, rows_u16, n_active):
-    """Decode one position across the lanes.
+def decode_step_core(states, ptr, stream, rows_u16, n_active):
+    """Decode one position across the lanes (pure; traced both by the
+    per-position `_decode_step` jit and by the fused level scan body in
+    octattn_codec._fused_level).
 
     states (K,) u32, ptr () i32, stream (B,) u8, rows_u16 (lanes, 256)
     with lanes <= K (missing lanes are never active), n_active () i32.
@@ -101,6 +117,9 @@ def _decode_step(states, ptr, stream, rows_u16, n_active):
     states_new = jnp.where(active, x3, states)
     syms = jnp.where(active, sym, 0)
     return syms, states_new, ptr + jnp.sum(cnt)
+
+
+_decode_step = partial(jax.jit, donate_argnums=(0,))(decode_step_core)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -202,7 +221,14 @@ class OctRansEncoder:
             out.append(np.asarray(packed)[: int(tot)].tobytes())
         else:
             out.append(np.asarray(states).astype("<u4").tobytes())
-        return b"".join(out)
+        blob = b"".join(out)
+        if len(blob) - 2 - 4 * self.k + 2 * self.k + 2 > stream_cap():
+            raise ValueError(
+                f"encoded payload ({len(blob)} B) exceeds SCP_OCTRANS_CAP "
+                f"({stream_cap()} B) and could never be decoded; re-encode "
+                "with a larger cap (set identically for decode)"
+            )
+        return blob
 
 
 class OctRansDecoder:
@@ -220,10 +246,17 @@ class OctRansDecoder:
             np.frombuffer(payload[2 : 2 + 4 * k], "<u4").copy()
         )
         body = np.frombuffer(payload[2 + 4 * k :], np.uint8)
-        pad = max(
-            1 << 16,
-            1 << int(np.ceil(np.log2(max(len(body) + 2 * k + 2, 1)))),
-        )
+        # Fixed-size buffer: the fused level program's stream shape must be
+        # identical between the encoder's dummy pass and this decode (see
+        # stream_cap); payloads that don't fit are a loud error, not a
+        # silent shape change that would desync the coder.
+        pad = stream_cap()
+        if len(body) + 2 * k + 2 > pad:
+            raise ValueError(
+                f"rANS payload ({len(body)} B) exceeds the fused-schedule "
+                f"stream cap ({pad} B); set SCP_OCTRANS_CAP identically on "
+                "encoder and decoder to a larger power of two"
+            )
         self.stream = jnp.asarray(
             np.concatenate([body, np.zeros(pad - len(body), np.uint8)])
         )

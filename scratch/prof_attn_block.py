@@ -68,18 +68,13 @@ def child():
     np.asarray(jfn(variables, feat)[-1].ravel()[0])
     np.asarray(jfn(variables, feat)[-1].ravel()[0])
     out["swin_self_s"] = round(
-        _med(lambda: np.asarray(jfn(variables, feat)[-1].ravel()[0])), 4
+        _med(lambda: np.asarray(jfn(variables, feat)[-1].ravel()[0]), n=7), 4
     )
-
-    def p1_fn(v, d, p):
-        return model.apply(v, d, p.astype(jnp.bfloat16), method=EHEM.decode_phase1)
-
-    jp1 = jax.jit(p1_fn)
-    np.asarray(jp1(variables, dd, pd)[0].ravel()[0])
-    np.asarray(jp1(variables, dd, pd)[0].ravel()[0])
-    out["p1_full_s"] = round(
-        _med(lambda: np.asarray(jp1(variables, dd, pd)[0].ravel()[0])), 4
-    )
+    # p1_full deliberately NOT measured per-config: its geo-trunk compile
+    # alone blows the child budget (round-5 finding — the first sweep child
+    # hit the 900 s timeout inside p1 compile), and the knobs only touch
+    # the Swin sublayers.  The bench re-measures end-to-end after the
+    # winning defaults land.
     print("RESULT " + json.dumps(out), flush=True)
 
 
@@ -92,15 +87,14 @@ def main():
         {"SCP_ATTN_BLOCK": "1", "SCP_MLP_TILE": "1024"},
         {"SCP_ATTN_BLOCK": "1", "SCP_MLP_TILE": "2048"},
         {"SCP_ATTN_BLOCK": "4", "SCP_MLP_TILE": "1024"},
+        {"SCP_ATTN_BLOCK": "8", "SCP_MLP_TILE": "1024"},
     ]
-    if os.environ.get("SCP_STATIC_KNN"):
-        pass
     for cfg in configs:
         env = dict(os.environ, CHILD="1", SCP_STATIC_KNN="1", **cfg)
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1500,
         )
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
         tag = f"attn_block={cfg['SCP_ATTN_BLOCK']} mlp_tile={cfg['SCP_MLP_TILE']}"

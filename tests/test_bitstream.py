@@ -130,6 +130,12 @@ def test_every_inference_env_knob_is_stamped():
         "SCP_ALLOW_CROSS_BACKEND", "SCP_REFERENCE_DIR", "SCP_SELFTEST_TPU",
         "SCP_SORT_GATHER_BWD", "SCP_TPU_NO_NATIVE", "SCP_TPU_PEAK_FLOPS",
         "SCP_TRACE_DIR", "SCP_TPU_CACHE",
+        # Pallas grid re-tiling only: row-identical math (the contraction
+        # order inside each row never changes), and the effective value is
+        # per-shape (clamped/divisor-degraded in _pick_tile/_pick_block),
+        # so stamping the raw env value caused spurious decode refusals
+        # between numerically identical settings (round-4 ADVICE).
+        "SCP_ATTN_BLOCK", "SCP_MLP_TILE",
     }
     # env var -> stamp key in coding_params() / header field
     stamp_key = {
@@ -147,16 +153,16 @@ def test_every_inference_env_knob_is_stamped():
         "SCP_CODEC_MODE": "",  # dedicated header field: coding_mode
         "SCP_OCTATTN_CODER": "",  # dedicated header field: coding_mode
         "SCP_STATIC_KNN": "staticknn=",
+        # stamped in OctAttentionCodec.coding_params (octattn streams),
+        # asserted by test_octattn_coding_params_stamp below
+        "SCP_OCTATTN_FUSED": "",
+        "SCP_OCTRANS_CAP": "",
         # the lookup is bit-exact vs the gather, but swapping it changes
         # XLA fusion downstream (CDF rows measurably differ on chip)
         "SCP_NO_ONEHOT_EMBED": "onehotembed=",
         # same reasoning: k-major gather+max is bit-exact per node but a
         # different fusion environment for the ops around it
         "SCP_NO_KMAJOR_MAX": "kmajormax=",
-        # fused-kernel schedule knobs: row-identical math, stamped anyway
-        # so enc/dec agreement stays structural
-        "SCP_ATTN_BLOCK": "attnblock=",
-        "SCP_MLP_TILE": "mlptile=",
     }
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -188,3 +194,36 @@ def test_every_inference_env_knob_is_stamped():
     for var, key in stamp_key.items():
         if key:
             assert key in stamp, f"{var} must stamp as {key!r}; stamp={stamp!r}"
+
+
+def test_octattn_coding_params_stamp(monkeypatch):
+    """OctAttention rans streams stamp the fused-schedule knobs (the fused
+    level program is a different compiled program than the per-position
+    chain, so a schedule mismatch between encode and decode would desync
+    the coder); host-coder schedules stamp only the dtype."""
+    import jax
+    import numpy as np
+
+    from scp_tpu.codec.octattn_codec import OctAttentionCodec
+    from scp_tpu.models.octattention import OctAttention
+
+    model = OctAttention(
+        occ_embed_dim=8, level_embed_dim=4, octant_embed_dim=4,
+        abs_pos_embed_dim=4, num_layers=1, num_heads=2, hidden_dim=32,
+        context_size=16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8, 4, 3), np.int32),
+        np.zeros((1, 8, 4, 3), np.float32),
+    )
+    codec = OctAttentionCodec(model, variables, mode="rans")
+    stamp = codec.coding_params("rans")
+    assert "dtype=" in stamp and "octsched=fused" in stamp and "cap=" in stamp
+    assert codec.coding_params("full") == "dtype=float32"
+    assert codec.coding_params("incr") == "dtype=float32"
+
+    monkeypatch.setenv("SCP_OCTATTN_FUSED", "0")
+    codec2 = OctAttentionCodec(model, variables, mode="rans")
+    s2 = codec2.coding_params("rans")
+    assert "octsched=steps" in s2 and s2 != stamp
