@@ -29,17 +29,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# token tile: multiples of the bf16 sublane tile; 512 keeps the f32
-# intermediate at 2 MB and the MXU n-dim large.  SCP_MLP_TILE overrides
-# (chip A/B, scratch/prof_attn_block.py); the per-call tile degrades to
-# the largest divisor of the token count (see _pick_tile).
-_TILE = 512
+# token tile: multiples of the bf16 sublane tile.  Default 1024 per the
+# round-5 chip A/B (scratch/prof_attn_block.py: swin_self 0.0626 s vs
+# 0.0638 at 512 per 16x8192 call; tile 2048 regresses back to 0.0638).
+# SCP_MLP_TILE overrides; the per-call tile degrades to the largest
+# divisor of the token count >= the 512 floor (see _pick_tile) — tiling
+# is row-identical math, so the knob is deliberately NOT stamped in
+# coding_params.
+_TILE = 512  # floor / divisor-degradation unit
+_DEFAULT = 1024
 
 
 def _pick_tile(n_tokens: int) -> int:
     import os
 
-    t = int(os.environ.get("SCP_MLP_TILE", _TILE))
+    t = int(os.environ.get("SCP_MLP_TILE", _DEFAULT))
     while t > _TILE and n_tokens % t:
         t //= 2
     return max(t, _TILE)

@@ -149,12 +149,15 @@ def attn_block() -> int:
     """Windows per grid step (SCP_ATTN_BLOCK).  Blocking amortizes the
     per-grid-step latency and feeds the MXU a (BL*W, 3C) QKV projection;
     output is row-identical to block 1 (per-window attention,
-    row-independent matmuls).  Default set by the chip A/B in
-    scratch/prof_attn_block.py; the codec stamps the knob so enc/dec
-    agreement stays structural."""
+    row-independent matmuls), so the knob is NOT stamped in
+    coding_params.  Round-5 chip A/B (scratch/prof_attn_block.py,
+    16x8192 swin_self): block 1 = 0.0638 s, 2 = 0.0635, 4 = 0.0699,
+    8 = VMEM OOM (the 8x512x256 bf16 block + f32 scores exceed the 16 MB
+    scoped-vmem budget) -> default stays 1; the cap below keeps an
+    env override from compiling an un-runnable kernel."""
     import os
 
-    return max(1, int(os.environ.get("SCP_ATTN_BLOCK", "1")))
+    return max(1, min(4, int(os.environ.get("SCP_ATTN_BLOCK", "1"))))
 
 
 def _pick_block(bn: int, n_masks: int) -> int:

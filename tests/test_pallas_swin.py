@@ -176,7 +176,8 @@ def test_pick_block_degrades(monkeypatch):
 def test_mlp_tile_pick(monkeypatch):
     from scp_tpu.ops import pallas_mlp
 
-    assert pallas_mlp._pick_tile(8192) == 512  # default
+    assert pallas_mlp._pick_tile(8192) == 1024  # round-5 A/B default
+    assert pallas_mlp._pick_tile(512 * 3) == 512  # 1024 doesn't divide
     monkeypatch.setenv("SCP_MLP_TILE", "2048")
     assert pallas_mlp._pick_tile(8192) == 2048
     assert pallas_mlp._pick_tile(512 * 3) == 512  # 2048/1024 don't divide
