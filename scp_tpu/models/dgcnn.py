@@ -65,6 +65,26 @@ class EdgeConv(nn.Module):
             axis_name=None,
             name="bn",
         )
+        if train and not self.is_initializing() and os.environ.get(
+            "SCP_FUSED_EDGECONV"
+        ):
+            # Fused train path (ops/edgeconv_fused.py): same forward
+            # function, batch stats exact, stop-gradient THROUGH the stats
+            # (declared divergence, certified by the warm-adapt A/B —
+            # BUILDLOG round 5).  No (B, N, k, F) tensor, and the backward
+            # scatters only the B*N*F argmax winners.
+            from scp_tpu.ops.edgeconv_fused import edgeconv_train_fused
+
+            p = bn.variables["params"]
+            out, mean, var = edgeconv_train_fused(
+                a, bc, p["scale"], p["bias"], idx
+            )
+            # Running-stat update: a 2-sample call reproduces (mean, var)
+            # exactly under BatchNorm's biased-variance formula, so the
+            # momentum update matches the explicit path's.
+            std = jnp.sqrt(var)
+            _ = bn(jnp.stack([mean + std, mean - std]))
+            return out.astype(self.dtype)
         if train or self.is_initializing() or os.environ.get("SCP_NO_BNFOLD"):
             h = gather_neighbors(a, idx) + bc[:, :, None, :]  # (B, N, k, F)
             h = bn(h)

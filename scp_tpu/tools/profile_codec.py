@@ -204,7 +204,9 @@ def profile_train(args):
     cfg = load_config("train_kitti_ehem.yaml", config_dir="configs")
     cfg.data.batch_size = args.batch
     cfg.bf16 = True
-    cfg.remat = True
+    # production recipe trains without remat (round-4 receipt: +11%
+    # throughput, fits HBM at batch 8); --remat restores it for A/B
+    cfg.remat = bool(args.remat)
 
     rng = np.random.default_rng(0)
     n = args.context
@@ -261,6 +263,7 @@ def main(argv=None):
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--context", type=int, default=8192)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args(argv)
     from scp_tpu.utils import enable_compilation_cache
 
