@@ -70,9 +70,10 @@ class EdgeConv(nn.Module):
         ):
             # Fused train path (ops/edgeconv_fused.py): same forward
             # function, batch stats exact, stop-gradient THROUGH the stats
-            # (declared divergence, certified by the warm-adapt A/B —
-            # BUILDLOG round 5).  No (B, N, k, F) tensor, and the backward
-            # scatters only the B*N*F argmax winners.
+            # (declared divergence — O(1/k) gradient terms dropped; see the
+            # op's docstring).  Deletes the f32 (B, N, k, F) edge tensor
+            # and the BN chain over it; the backward is XLA's own VJP of
+            # the folded gather->max form.
             from scp_tpu.ops.edgeconv_fused import edgeconv_train_fused
 
             p = bn.variables["params"]

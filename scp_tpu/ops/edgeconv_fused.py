@@ -1,11 +1,10 @@
-"""Fused EdgeConv training path: gather+BN+leaky+max in one custom-VJP op.
+"""Fused EdgeConv training path: folded-BN gather+max with exact batch stats.
 
 The reference train-mode EdgeConv (dgcnn.py:121-151) materializes the
-(B, N, k, F) edge tensor for BatchNorm and pays XLA's gather-transpose
-scatter-add over all B*N*k cotangent rows in the backward — measured
-0.148 s of a 0.37 s train step at batch 8x8192 (BUILDLOG round 3/4).
-This op computes the SAME forward function (up to float association)
-without either cost:
+(B, N, k, F) edge tensor IN F32 for BatchNorm, runs the BN normalize +
+leaky + max chain over it, and backs the whole chain up through XLA's
+gather transpose.  This path computes the SAME forward function (up to
+float association) from ONE k-major gather and per-(M, F) dense math:
 
   max_k leaky(BN(gather(a) + bc))
     = leaky(s * (sel_k(gather(a)) + bc) + t)
@@ -14,34 +13,33 @@ with s = scale/sqrt(var+eps), t = bias - mean*s, and sel = max when
 s >= 0 else min (the per-channel affine is monotone across the k
 neighbors; bc is constant across k; leaky_relu is monotone) — the same
 commutes the inference fold uses, now with the batch statistics of THIS
-batch.  Those statistics are computed exactly (one f32-accumulated pass
-over the k-major gather: sum, sum-of-squares, max/argmax, min/argmin —
-nothing k-wide is written back to HBM), reproducing the explicit path's
-mean/var over the full (B*N*k, F) edge population:
+batch.  The statistics are exact: one f32-accumulated pass over the
+k-major gather (sum, sum-of-squares fused with the max/min reductions)
+reproduces the explicit path's mean/var over the full (B*N*k, F) edge
+population:
 
   sum   (g + bc) = sum_k,m g        + k * sum_m bc
   sumsq (g + bc) = sum_k,m g^2 + 2 * sum_m bc*esum_m + k * sum_m bc^2
 
-**Declared divergence (training only, recorded in the run config):** the
-backward treats mean/var as constants (stop-gradient through batch
-statistics).  The exact BN backward routes cotangents through the stats
-to EVERY edge, which is precisely the all-edges scatter this op exists
-to delete; the dropped terms are O(1/k) of the main term (only the
-B*N winner edges carry primary cotangents into stats over B*N*k
-samples).  Certification: the warm-adapt recipe reaches the same
-held-out val bits/node with this path as with the explicit path
-(receipt in BUILDLOG round 5).  The codec/inference path is untouched.
+**Declared divergence (training only):** mean/var are wrapped in
+stop_gradient.  The exact BN backward routes cotangents through the
+stats to EVERY edge; the dropped terms are O(1/k) of the main term
+(only the B*N winner edges carry primary cotangents into stats over
+B*N*k samples).  The knob (SCP_FUSED_EDGECONV) stays opt-in until a
+warm-adapt run certifies rate parity with the explicit path.  The
+codec/inference path is untouched.
 
-Backward cost: dense (M, F) elementwise math + ONE element scatter-add
-of M*F winner cotangents (k-fold fewer elements than the explicit
-path's gather transpose) + two (F,) reductions.
+The backward is XLA's own VJP of take->max: it re-derives the winner
+mask and emits the SAME E-row scatter-add the explicit path pays for
+the gather — that row scatter is the exact-gradient floor on TPU
+(scatter cost scales with the index count, so a "winners-only" element
+scatter of M*F indices measured 2.2x SLOWER than the E=M*k row
+scatter; receipt in BUILDLOG round 5).  What this path deletes is the
+f32 edge-tensor round trips and the BN chain's forward+backward over
+(B, N, k, F).
 """
 
 from __future__ import annotations
-
-from functools import partial
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -59,97 +57,35 @@ def edgeconv_train_fused(a, bc, scale, bias, idx, eps=1e-5, slope=0.2):
     b, n, f = a.shape
     k = idx.shape[-1]
     base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
-    idx_flat = (idx + base).reshape(b * n, k)
-    out, mean, var = _fused_core(
-        a.reshape(b * n, f),
-        bc.reshape(b * n, f),
-        scale.astype(jnp.float32),
-        bias.astype(jnp.float32),
-        idx_flat,
-        float(eps),
-        float(slope),
-    )
-    return out.reshape(b, n, f), mean, var
+    a_flat = a.reshape(b * n, f)
+    bc32 = bc.reshape(b * n, f).astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+    m = b * n
 
-
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_core(a, bc, scale, bias, idx, eps, slope):
-    out, mean, var, _ = _fwd_math(a, bc, scale, bias, idx, eps, slope)
-    return out, mean, var
-
-
-def _fwd_math(a, bc, scale, bias, idx, eps, slope):
-    m, f = a.shape
-    k = idx.shape[-1]
-    # k-major gather: all centers' neighbor 0, then neighbor 1, ... so the
-    # reductions below run over the leading axis of contiguous (M, F) slabs
-    # (the layout max_over_neighbors uses; BUILDLOG k-major receipt).
-    g = jnp.take(a, jnp.moveaxis(idx, -1, 0).reshape(-1), axis=0)
-    g = g.reshape(k, m, f)
+    km = jnp.moveaxis(idx + base, -1, 0).reshape(-1)  # k-major flat order
+    g = jnp.take(a_flat, km, axis=0).reshape(k, m, f)
     gmax = jnp.max(g, axis=0)
-    am = jnp.argmax(g, axis=0).astype(jnp.int32)
     gmin = jnp.min(g, axis=0)
-    amin = jnp.argmin(g, axis=0).astype(jnp.int32)
-    g32 = g.astype(jnp.float32)
+
+    # exact batch stats of (g + bc), f32 accumulation, no k-wide writeback;
+    # stop_gradient: the declared divergence (see module docstring)
+    g32 = jax.lax.stop_gradient(g).astype(jnp.float32)
     esum = jnp.sum(g32, axis=0)  # (M, F)
     gsq = jnp.sum(g32 * g32, axis=(0, 1))  # (F,)
-    bc32 = bc.astype(jnp.float32)
+    bc_sg = jax.lax.stop_gradient(bc32)
     cnt = jnp.float32(k * m)
-    s1 = jnp.sum(esum, axis=0) + k * jnp.sum(bc32, axis=0)
-    s2 = gsq + 2.0 * jnp.sum(bc32 * esum, axis=0) + k * jnp.sum(
-        bc32 * bc32, axis=0
+    s1 = jnp.sum(esum, axis=0) + k * jnp.sum(bc_sg, axis=0)
+    s2 = gsq + 2.0 * jnp.sum(bc_sg * esum, axis=0) + k * jnp.sum(
+        bc_sg * bc_sg, axis=0
     )
     mean = s1 / cnt
     var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
-    s = scale / jnp.sqrt(var + eps)
+
+    s = scale * jax.lax.rsqrt(var + eps)
     t = bias - mean * s
     pos = s >= 0
-    sel = jnp.where(pos, gmax, gmin).astype(jnp.float32) + bc32  # (M, F)
-    win_k = jnp.where(pos, am, amin)  # (M, F) in [0, k)
+    sel = jnp.where(pos, gmax, gmin).astype(jnp.float32) + bc32
     pre = s * sel + t
     out = jnp.where(pre > 0, pre, slope * pre).astype(a.dtype)
-    return out, mean, var, (sel, win_k, s, t, mean, var)
-
-
-def _fused_fwd(a, bc, scale, bias, idx, eps, slope):
-    out, mean, var, (sel, win_k, s, t, _m, _v) = _fwd_math(
-        a, bc, scale, bias, idx, eps, slope
-    )
-    # zero-size proxies carry (rows, dtype) through the residual pytree
-    proxy_a = jnp.zeros((a.shape[0], 0), a.dtype)
-    proxy_bc = jnp.zeros((0,), bc.dtype)
-    res = (sel, win_k, s, t, mean, var, idx, proxy_a, proxy_bc)
-    return (out, mean, var), res
-
-
-def _fused_bwd(eps, slope, res, cts):
-    gt_out, _gt_mean, _gt_var = cts  # stats cotangents dropped (stop-grad)
-    sel, win_k, s, t, mean, var, idx, proxy_a, proxy_bc = res
-    rows, a_dtype, bc_dtype = proxy_a.shape[0], proxy_a.dtype, proxy_bc.dtype
-    m, f = sel.shape
-    gt = gt_out.astype(jnp.float32)
-    pre = s * sel + t
-    dpre = gt * jnp.where(pre > 0, 1.0, slope)  # d leaky
-    # y = scale * xhat + bias with xhat = (sel - mean)/sqrt(var+eps)
-    inv = jax.lax.rsqrt(var + eps)
-    dbias = jnp.sum(dpre, axis=0)
-    dscale = jnp.sum(dpre * (sel - mean) * inv, axis=0)
-    dsel = dpre * s  # winner edge value cotangent (stats held constant)
-    dbc = dsel.astype(bc_dtype)
-    # da: each (center, channel) routes its cotangent to exactly one source
-    # row — the argmax/argmin winner.  One 1-D element scatter-add of M*F
-    # values (vs the explicit path's B*N*k*F gather transpose).
-    win_rows = jnp.take_along_axis(idx, win_k, axis=1)  # (M, F) row ids
-    flat_ix = win_rows.astype(jnp.int32) * f + jnp.arange(f, dtype=jnp.int32)
-    da = (
-        jnp.zeros((rows * f,), jnp.float32)
-        .at[flat_ix.reshape(-1)]
-        .add(dsel.reshape(-1))
-        .reshape(rows, f)
-        .astype(a_dtype)
-    )
-    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return da, dbc, dscale, dbias, d_idx
-
-
-_fused_core.defvjp(_fused_fwd, _fused_bwd)
+    return out.reshape(b, n, f), mean, var

@@ -121,6 +121,8 @@ def test_every_inference_env_knob_is_stamped():
     #   ALLOW_CROSS_BACKEND  escape hatch for the mismatch guard itself
     #   REFERENCE_DIR        baseline harness location
     #   SELFTEST_TPU         selftest device selection (backend is stamped)
+    #   FUSED_EDGECONV       training forward/backward only (train=True
+    #                        branch; the codec/inference path never reads it)
     #   SORT_GATHER_BWD      training backward pass only
     #   TPU_NO_NATIVE        native host coder gate; native and python
     #                        coders are byte-parity tested both directions
@@ -128,6 +130,7 @@ def test_every_inference_env_knob_is_stamped():
     #   TPU_CACHE            native-build cache directory location
     whitelist = {
         "SCP_ALLOW_CROSS_BACKEND", "SCP_REFERENCE_DIR", "SCP_SELFTEST_TPU",
+        "SCP_FUSED_EDGECONV",
         "SCP_SORT_GATHER_BWD", "SCP_TPU_NO_NATIVE", "SCP_TPU_PEAK_FLOPS",
         "SCP_TRACE_DIR", "SCP_TPU_CACHE",
         # Pallas grid re-tiling only: row-identical math (the contraction
