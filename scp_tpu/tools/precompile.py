@@ -37,12 +37,24 @@ def main(argv=None):
     ap.add_argument("--points", type=int, nargs="+", default=[120_000])
     ap.add_argument("--levels", type=int, nargs="+", default=[16])
     ap.add_argument("--system", default="spher", choices=["spher", "cylin", "cart"])
-    ap.add_argument("--ckpt", default="checkpoints/ehem_synth_f16.npz")
+    ap.add_argument("--ckpt", default=None)
     ap.add_argument("--context", type=int, default=8192)
     args = ap.parse_args(argv)
     if len(args.levels) == 1 and len(args.points) > 1:
         args.levels = args.levels * len(args.points)
     assert len(args.points) == len(args.levels)
+
+    # Mirror bench.py's production defaults EXACTLY — the compiled program
+    # set depends on the trunk graph mode (SCP_STATIC_KNN changes the
+    # traced graph), so seeding with a different knob default would warm
+    # the wrong programs and the driver bench would pay a cold compile.
+    if args.ckpt is None:
+        sknn = "checkpoints/ehem_synth_f16_sknn.npz"
+        if os.environ.get("SCP_STATIC_KNN", "1") != "0" and os.path.exists(sknn):
+            os.environ["SCP_STATIC_KNN"] = "1"
+            args.ckpt = sknn
+        else:
+            args.ckpt = "checkpoints/ehem_synth_f16.npz"
 
     import jax
     import jax.numpy as jnp
