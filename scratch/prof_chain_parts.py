@@ -24,12 +24,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "scp_tpu_xla"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# env vars are IGNORED by the axon sitecustomize — must jax.config.update
+# (BUILDLOG round 4, commit fafe398)
+from scp_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 import numpy as np
 
