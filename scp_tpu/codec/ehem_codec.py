@@ -263,28 +263,59 @@ def _interleave(evens, odds, b):
     return jnp.pad(val, (0, b - val.shape[0]))
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _expand_parity(data, pos, evens, odds, n_par, n_child, child_level, unit):
+def _expand_width(plans, b_cap, li, sizes):
+    """Power-of-two work width for the expand at level li -> li+1.
+
+    The round-5 chain attribution measured the expansion chain at ~0.22 s
+    of the 0.95 s encode wall (and the same again in decode) with every
+    expand running at the full b_cap width; at bench scale 7 of the 14
+    expands have <= 32k real rows.  The width only has to cover every row
+    a later consumer reads: the child level's phase calls slice at most
+    its padded row count (plans[li+1][1]), and the NEXT expand reads
+    parent rows < sizes[li+1] <= that same padding.  Rows past the width
+    keep stale bytes and are never read."""
+    need = max(int(sizes[li]), int(plans[li + 1][1]))
+    w = 512
+    while w < need:
+        w *= 2
+    return min(w, b_cap)
+
+
+def _expand_windowed(data, pos, occ, n_par, n_child, child_level, unit, w):
+    """Run _expand_core on the leading w rows; splice back into the
+    persistent full-width buffers (w is a static program constant)."""
+    if w == data.shape[0]:
+        return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+    child, cpos = _expand_core(
+        data[:w], pos[:w], occ, n_par, n_child, child_level, unit
+    )
+    return (
+        jax.lax.dynamic_update_slice_in_dim(data, child, 0, 0),
+        jax.lax.dynamic_update_slice_in_dim(pos, cpos, 0, 0),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(8,))
+def _expand_parity(data, pos, evens, odds, n_par, n_child, child_level, unit, w):
     """Expansion fed by the decoder's parity-split symbol buffers."""
-    occ = _interleave(evens, odds, data.shape[0])
-    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+    occ = _interleave(evens, odds, w).astype(evens.dtype)
+    return _expand_windowed(data, pos, occ, n_par, n_child, child_level, unit, w)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _expand_stream(data, pos, occ_dev, lvl_off, n_par, n_child, child_level, unit):
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(8,))
+def _expand_stream(data, pos, occ_dev, lvl_off, n_par, n_child, child_level, unit, w):
     """Expansion fed by the encoder's uploaded occupancy stream."""
-    occ = jax.lax.dynamic_slice_in_dim(occ_dev, lvl_off, data.shape[0])
-    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+    occ = jax.lax.dynamic_slice_in_dim(occ_dev, lvl_off, w)
+    return _expand_windowed(data, pos, occ, n_par, n_child, child_level, unit, w)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _expand_flat(data, pos, flat, n_par, n_child, child_level, unit):
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(7,))
+def _expand_flat(data, pos, flat, n_par, n_child, child_level, unit, w):
     """Expansion fed by a tiny level's un-split decoded symbols."""
     import jax.numpy as jnp
 
-    b = data.shape[0]
-    occ = flat[:b] if flat.shape[0] >= b else jnp.pad(flat, (0, b - flat.shape[0]))
-    return _expand_core(data, pos, occ, n_par, n_child, child_level, unit)
+    occ = flat[:w] if flat.shape[0] >= w else jnp.pad(flat, (0, w - flat.shape[0]))
+    return _expand_windowed(data, pos, occ, n_par, n_child, child_level, unit, w)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -918,6 +949,7 @@ class EHEMCodec:
                         data_buf, pos_buf, occ_dev, np.int32(off),
                         np.int32(n), np.int32(sizes[li + 1]),
                         np.int32(level + 1), unit,
+                        _expand_width(plans, b_cap, li, sizes),
                     )
             off += n
 
@@ -1138,6 +1170,7 @@ class EHEMCodec:
                         data_buf, pos_buf = _expand_flat(
                             data_buf, pos_buf, flat, np.int32(n),
                             np.int32(sizes[li + 1]), np.int32(level + 1), unit,
+                            _expand_width(plans, b_cap, li, sizes),
                         )
                 off += n
                 yield li
@@ -1191,6 +1224,7 @@ class EHEMCodec:
                     data_buf, pos_buf = _expand_parity(
                         data_buf, pos_buf, ev_r, od_r, np.int32(n),
                         np.int32(sizes[li + 1]), np.int32(level + 1), unit,
+                        _expand_width(plans, b_cap, li, sizes),
                     )
             off += n
             yield li

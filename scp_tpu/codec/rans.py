@@ -143,7 +143,14 @@ def _decode_chunk(states, ptr, stream, rows_u16, base, n):
         return (x_new, p + jnp.sum(cnt)), jnp.where(active, sym, 0).astype(jnp.uint8)
 
     ts = jnp.arange(CHUNK_STEPS, dtype=jnp.int32)
-    (states, ptr), syms = jax.lax.scan(step, (states, ptr), (rows_u16, ts))
+    # unroll: the loop-carried (states, ptr) chain is inherent, but
+    # unrolling lets XLA overlap the independent per-step work (row loads,
+    # the 3 reductions over 256) across iterations and cuts loop-control
+    # overhead 8x; bytes and symbols are bit-identical (integer math,
+    # same order)
+    (states, ptr), syms = jax.lax.scan(
+        step, (states, ptr), (rows_u16, ts), unroll=8
+    )
     return syms, states, ptr
 
 
@@ -177,7 +184,7 @@ def _encode_chunk(states, sf, base, n):
     ts = jnp.arange(CHUNK_STEPS, dtype=jnp.int32)
     sfr = sf.reshape(CHUNK_STEPS, K_LANES, 2)
     states, (cb0, cb1, cnt) = jax.lax.scan(
-        step, states, (sfr, ts), reverse=True
+        step, states, (sfr, ts), reverse=True, unroll=8
     )
     # lay bytes out in decode order: (step asc, lane asc, byte asc).
     # sort-based compaction: pack (dst << 8 | byte) into u32 keys (dst <

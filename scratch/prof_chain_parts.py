@@ -65,7 +65,7 @@ def main():
     codec = EHEMCodec(model, variables, context_size=8192)
     codec.warmup(slices)
 
-    from scp_tpu.codec.ehem_codec import _expand_stream, _pow2
+    from scp_tpu.codec.ehem_codec import _expand_stream, _expand_width, _pow2
 
     sizes = slices.level_sizes
     max_level = slices.max_level
@@ -133,6 +133,7 @@ def main():
                     data_buf, pos_buf, occ_dev, np.int32(off),
                     np.int32(n), np.int32(sizes[li + 1]),
                     np.int32(level + 1), unit,
+                    _expand_width(plans, b_cap, li, sizes),
                 )
             off += n
         keep.append(data_buf)
