@@ -25,9 +25,11 @@ population:
 stop_gradient.  The exact BN backward routes cotangents through the
 stats to EVERY edge; the dropped terms are O(1/k) of the main term
 (only the B*N winner edges carry primary cotangents into stats over
-B*N*k samples).  The knob (SCP_FUSED_EDGECONV) stays opt-in until a
-warm-adapt run certifies rate parity with the explicit path.  The
-codec/inference path is untouched.
+B*N*k samples).  Rate-certified (round 5): 1000-step warm-adapt arms
+from the sknn ckpt with identical batches — val 3.0981 bits/node
+(fused) vs 3.0980 (explicit) — so the knob is ON by default for
+training; SCP_FUSED_EDGECONV=0 restores the reference-exact explicit
+path.  The codec/inference path is untouched.
 
 The backward is XLA's own VJP of take->max: it re-derives the winner
 mask and emits the SAME E-row scatter-add the explicit path pays for

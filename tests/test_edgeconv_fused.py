@@ -114,7 +114,7 @@ def test_edgeconv_module_fused_matches_explicit(monkeypatch):
     p["scale"] = jnp.asarray(rng.uniform(0.5, 1.5, 16).astype(np.float32))
     p["bias"] = jnp.asarray(rng.standard_normal(16).astype(np.float32))
 
-    monkeypatch.delenv("SCP_FUSED_EDGECONV", raising=False)
+    monkeypatch.setenv("SCP_FUSED_EDGECONV", "0")  # explicit oracle arm
     ref, refvars = conv.apply(
         variables, feats, idx, True, mutable=["batch_stats"]
     )
